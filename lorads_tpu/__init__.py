@@ -1,0 +1,39 @@
+"""lorads_tpu — a TPU-native low-rank SDP solver (JAX/XLA/Pallas).
+
+A from-scratch rebuild of the capabilities of LoRADS (COPT-Public/LoRADS):
+a two-phase first-order solver for standard-form semidefinite programs
+
+    min <C, X>  s.t.  A(X) = b,  X >= 0 (PSD),
+
+optionally with one LP (nonnegative-orthant) block.  X is never formed:
+it is factored X = R R^T (Burer-Monteiro) with rank r = O(log n).
+
+Phase I  (ALM):  L-BFGS with an exact quartic line search on the
+                 augmented Lagrangian in R.
+Phase II (ADMM): splitting X = U V^T, alternating U/V updates, each a
+                 matrix-free CG solve, plus dual ascent.
+
+The compute path is JAX (jit / vmap / lax loops) designed for TPU:
+constraint applications A(UV^T) are batched sparse-dense contractions on
+a per-block union sparsity pattern, factor updates are MXU matmuls, and
+multi-block problems shard over a `jax.sharding.Mesh`.
+
+Reference parity: docstrings cite /root/reference/src_semi/<file>:<line>.
+"""
+
+from lorads_tpu.config import LoradsParams, SolverStatus
+from lorads_tpu.core.problem import SDPProblem
+from lorads_tpu.io.sdpa import read_sdpa, write_sdpa
+from lorads_tpu.alg.solver import LoradsSolver, solve
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "LoradsParams",
+    "SolverStatus",
+    "SDPProblem",
+    "read_sdpa",
+    "write_sdpa",
+    "LoradsSolver",
+    "solve",
+]

@@ -1,0 +1,83 @@
+"""Solver parameters and status codes.
+
+Mirrors the reference flag system: `lorads_params` struct
+(/root/reference/src_semi/lorads.h:82-105), defaults
+(/root/reference/src_semi/main.c:19-43) and the getopt_long table
+(/root/reference/src_semi/main.c:57-80).  `rho_celling_admm` is
+force-recomputed as `rho_max * 200` after parsing (main.c:236) — we
+reproduce that in `__post_init__`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class SolverStatus(enum.Enum):
+    """Reference: lorads_status (/root/reference/src_semi/lorads.h:45-51)."""
+
+    UNKNOWN = "unknown"
+    PRIMAL_DUAL_OPTIMAL = "primal_dual_optimal"
+    PRIMAL_OPTIMAL = "primal_optimal"
+    MAXITER = "max_iter"
+    TIME_LIMIT = "time_limit"
+
+
+class RetCode(enum.Enum):
+    """Reference: RET_CODE_* (/root/reference/src_semi/lorads.h:62-65)."""
+
+    OK = 0
+    TIME_OUT = 1
+    NUM_ERR = 4
+    BAD_ITER = 8
+
+
+@dataclasses.dataclass
+class LoradsParams:
+    """All user-facing knobs, defaults per reference main.c:19-43."""
+
+    fname: Optional[str] = None
+    init_rho: float = 0.0            # 0 -> 1/sqrt(sum blkDims) (lorads_solver.c:1155-1164)
+    rho_max: float = 5000.0
+    rho_celling_alm: float = 1e8
+    rho_celling_admm: float = 1e6    # recomputed = rho_max*200 (main.c:236)
+    max_alm_iter: int = 200
+    max_admm_iter: int = 10000
+    times_log_rank: float = 2.0
+    rho_freq: int = 5
+    rho_factor: float = 1.2
+    alm_rho_factor: float = 2.0
+    phase1_tol: float = 1e-3
+    phase2_tol: float = 1e-5
+    time_sec_limit: float = 3600.0
+    heuristic_factor: float = 1.0
+    lbfgs_list_length: int = 2
+    end_tau_tol: float = 1e-16
+    end_alm_sub_tol: float = 1e-10
+    l2_rescaling: bool = False       # parsed but unused in solve path (reference parity)
+    reopt_level: int = 2
+    dyrank_level: int = 2
+    high_acc_mode: bool = False
+
+    # --- TPU-native extensions (no reference counterpart) ---
+    dtype: str = "f64"               # "f32" or "f64"; f64 is emulated on TPU
+    seed: int = 925                  # reference srand(925) (lorads_solver.c:415)
+    device_chunk_iters: int = 50     # ADMM iterations per device round-trip
+    verbose: bool = True
+    dense_threshold: float = 0.1     # union density above which block goes dense
+    dense_dim_threshold: int = 20    # dims below this always dense (conic.c:884)
+    sparse_cone_threshold: float = 0.3   # lorads.h:13
+    n_devices: Optional[int] = None  # None -> all local devices
+
+    def __post_init__(self):
+        self.rho_celling_admm = self.rho_max * 200.0
+
+    @property
+    def rank_flag_thres(self) -> float:
+        """Difficulty threshold triggering rank augmentation.
+
+        Reference: lorads_alm.c:1022-1031 keyed on dyrankLevel.
+        """
+        return {0: 1e8, 1: 150.0, 2: 15.0, 3: 5.0}[self.dyrank_level]

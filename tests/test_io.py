@@ -1,0 +1,89 @@
+"""SDPA reader/writer golden tests (reference: lorads_file_io.c)."""
+
+import numpy as np
+import pytest
+
+from lorads_tpu.io import generators, read_sdpa, write_sdpa
+
+TINY_SDPA = """\
+* tiny example with one SDP block and one LP block
+2
+2
+3 -2
+1.0 2.0
+0 1 1 1 2.0
+0 1 1 2 -1.0
+0 2 1 1 0.5
+1 1 1 1 1.0
+1 1 3 3 1.0
+1 2 2 2 1.0
+2 1 2 1 1.0
+2 2 1 1 3.0
+"""
+
+
+@pytest.fixture
+def tiny_file(tmp_path):
+    p = tmp_path / "tiny.dat-s"
+    p.write_text(TINY_SDPA)
+    return str(p)
+
+
+def test_read_tiny(tiny_file):
+    prob = read_sdpa(tiny_file)
+    assert prob.m == 2
+    assert len(prob.blocks) == 1
+    assert prob.blocks[0].dim == 3
+    assert prob.n_lp_cols == 2
+    np.testing.assert_allclose(prob.rhs, [1.0, 2.0])
+
+    # objective negated on read (lorads_file_io.c:279-281)
+    C = prob.blocks[0].dense_obj()
+    expect = np.zeros((3, 3))
+    expect[0, 0] = -2.0
+    expect[0, 1] = expect[1, 0] = 1.0
+    np.testing.assert_allclose(C, expect)
+
+    A1 = prob.blocks[0].dense_constr(0)
+    np.testing.assert_allclose(np.diag(A1), [1.0, 0.0, 1.0])
+    A2 = prob.blocks[0].dense_constr(1)
+    assert A2[0, 1] == 1.0 and A2[1, 0] == 1.0
+
+    np.testing.assert_allclose(prob.lp.obj, [-0.5, 0.0])
+    Alp = prob.lp.dense_matrix()
+    np.testing.assert_allclose(Alp, [[0.0, 1.0], [3.0, 0.0]])
+
+
+def test_tiny_entries_dropped(tmp_path):
+    p = tmp_path / "drop.dat-s"
+    p.write_text("1\n1\n2\n1.0\n0 1 1 1 1e-13\n1 1 1 1 1.0\n")
+    prob = read_sdpa(str(p))
+    assert prob.blocks[0].nnz_obj == 0
+
+
+def test_roundtrip(tmp_path):
+    prob = generators.random_multiblock(n_blocks=2, dim=6, m=5, n_lp=3,
+                                        seed=3)
+    path = tmp_path / "rt.dat-s"
+    write_sdpa(str(path), prob)
+    prob2 = read_sdpa(str(path))
+    assert prob2.m == prob.m
+    assert prob2.n_lp_cols == prob.n_lp_cols
+    np.testing.assert_allclose(prob2.rhs, prob.rhs, rtol=1e-12)
+    for b1, b2 in zip(prob.blocks, prob2.blocks):
+        np.testing.assert_allclose(b2.dense_obj(), b1.dense_obj(),
+                                   rtol=1e-12)
+        for i in range(prob.m):
+            np.testing.assert_allclose(b2.dense_constr(i),
+                                       b1.dense_constr(i), rtol=1e-12)
+    np.testing.assert_allclose(prob2.lp.dense_matrix(),
+                               prob.lp.dense_matrix(), rtol=1e-12)
+    np.testing.assert_allclose(prob2.lp.obj, prob.lp.obj, rtol=1e-12)
+
+
+def test_duplicate_entries_summed(tmp_path):
+    p = tmp_path / "dup.dat-s"
+    p.write_text("1\n1\n2\n1.0\n1 1 1 2 1.0\n1 1 2 1 2.0\n")
+    prob = read_sdpa(str(p))
+    A = prob.blocks[0].dense_constr(0)
+    assert A[1, 0] == 3.0

@@ -1,0 +1,147 @@
+"""Pattern/LP kernels vs dense NumPy oracles (SURVEY.md §4 strategy)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lorads_tpu.config import LoradsParams
+from lorads_tpu.core.presolve import presolve
+from lorads_tpu.io import generators
+from lorads_tpu.ops import lp as lp_ops
+from lorads_tpu.ops import pattern as pat
+
+
+def _setup(problem, group=True, **pk):
+    params = LoradsParams(**pk)
+    ps = presolve(problem, params, group=group)
+    bks = [pat.build_bucket_data(bp, problem.m, jnp.float64)
+           for bp in ps.buckets]
+    return ps, bks
+
+
+def _rand_factors(ps, bucket_idx, r, seed=0):
+    rng = np.random.default_rng(seed)
+    bp = ps.buckets[bucket_idx]
+    U = rng.standard_normal((bp.B, bp.n, r))
+    V = rng.standard_normal((bp.B, bp.n, r))
+    # zero padded rows so oracles line up with real dims
+    for b, p in enumerate(bp.plans):
+        U[b, p.dim:, :] = 0.0
+        V[b, p.dim:, :] = 0.0
+    return U, V
+
+
+def _oracle_sym(U, V):
+    return 0.5 * (U @ V.T + V @ U.T)
+
+
+@pytest.mark.parametrize("dense_thr", [0.0, 1.1])
+def test_constr_and_obj_vals(dense_thr):
+    # dense_thr 0.0 -> everything dense mode; 1.1 -> sparse mode
+    problem = generators.random_multiblock(n_blocks=3, dim=12, m=9, seed=1)
+    ps, bks = _setup(problem, dense_threshold=dense_thr,
+                     dense_dim_threshold=0)
+    r = 4
+    total = np.zeros(problem.m)
+    obj_total = 0.0
+    for ib, (bp, bk) in enumerate(zip(ps.buckets, bks)):
+        U, V = _rand_factors(ps, ib, r, seed=ib)
+        uvt_val = pat.uvt(bk, jnp.asarray(U), jnp.asarray(V))
+        vals = pat.constr_vals(bk, uvt_val)
+        glob = pat.scatter_constr(bk, vals)
+        total += np.asarray(glob)
+        obj_total += float(jnp.sum(pat.obj_inner(bk, uvt_val)))
+
+    # oracle
+    expect = np.zeros(problem.m)
+    obj_expect = 0.0
+    for ib, bp in enumerate(ps.buckets):
+        U, V = _rand_factors(ps, ib, r, seed=ib)
+        for b, plan in enumerate(bp.plans):
+            blk = problem.blocks[plan.index]
+            X = _oracle_sym(U[b][: blk.dim], V[b][: blk.dim])
+            for i in range(problem.m):
+                expect[i] += np.sum(blk.dense_constr(i) * X)
+            obj_expect += np.sum(blk.dense_obj() * X)
+    np.testing.assert_allclose(total, expect, rtol=1e-10, atol=1e-12)
+    assert obj_total == pytest.approx(obj_expect, rel=1e-10)
+
+
+@pytest.mark.parametrize("dense_thr", [0.0, 1.1])
+def test_build_w_and_mul(dense_thr):
+    problem = generators.random_multiblock(n_blocks=2, dim=10, m=7, seed=2)
+    ps, bks = _setup(problem, dense_threshold=dense_thr,
+                     dense_dim_threshold=0)
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal(problem.m)
+    r = 3
+    for ib, (bp, bk) in enumerate(zip(ps.buckets, bks)):
+        U, _ = _rand_factors(ps, ib, r, seed=10 + ib)
+        w_loc = pat.gather_w(bk, jnp.asarray(w))
+        W = pat.build_w(bk, w_loc)
+        WX = np.asarray(pat.w_mul(bk, W, jnp.asarray(U)))
+        for b, plan in enumerate(bp.plans):
+            blk = problem.blocks[plan.index]
+            Wd = blk.dense_obj().copy()
+            for i in range(problem.m):
+                Wd += w[i] * blk.dense_constr(i)
+            expect = Wd @ U[b][: blk.dim]
+            np.testing.assert_allclose(WX[b][: blk.dim], expect,
+                                       rtol=1e-10, atol=1e-10)
+
+
+def test_sparse_cone_compaction():
+    # constraints that never touch a block must not appear in its slots
+    problem = generators.random_multiblock(n_blocks=1, dim=8, m=6, seed=4)
+    blk = problem.blocks[0]
+    keep = blk.a_con != 2  # remove constraint 2 from the block
+    blk.a_con, blk.a_row, blk.a_col, blk.a_val = (
+        blk.a_con[keep], blk.a_row[keep], blk.a_col[keep], blk.a_val[keep])
+    ps, bks = _setup(problem, dense_threshold=1.1, dense_dim_threshold=0)
+    assert ps.plans[0].m_loc == 5
+    U, V = _rand_factors(ps, 0, 3)
+    _, glob = pat.auv_into_global(bks[0], jnp.asarray(U), jnp.asarray(V))
+    assert np.asarray(glob)[2] == 0.0
+
+
+def test_lp_kernels():
+    problem = generators.random_multiblock(n_blocks=1, dim=6, m=8, n_lp=5,
+                                           seed=5)
+    lpd = lp_ops.build_lp_data(problem.lp, jnp.float64)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal(5)
+    v = rng.standard_normal(5)
+    w = rng.standard_normal(8)
+    A = problem.lp.dense_matrix()
+    np.testing.assert_allclose(
+        np.asarray(lp_ops.constr_vals(lpd, jnp.asarray(u * v))),
+        A @ (u * v), rtol=1e-12)
+    assert float(lp_ops.obj_inner(lpd, jnp.asarray(u * v))) == pytest.approx(
+        problem.lp.obj @ (u * v), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(lp_ops.adjoint_cols(
+        lpd, jnp.asarray(w))), A.T @ w, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(lpd.col_nrm2sq),
+                               np.sum(A**2, axis=0), rtol=1e-12)
+
+
+def test_rank_rule():
+    # r = min(ceil(t*ln n), floor(sqrt(2*m_loc))+1, n), >= 1
+    # (lorads_solver.c:290-319)
+    problem = generators.maxcut(n=100, avg_degree=4, seed=0)
+    ps, _ = _setup(problem)
+    plan = ps.plans[0]
+    assert plan.rank == min(int(np.ceil(2.0 * np.log(100))),
+                            int(np.sqrt(2 * 100)) + 1, 100)
+    assert plan.rank_max == min(int(np.sqrt(2 * 100)) + 1, 100)
+
+
+def test_dense_mode_thresholds():
+    # dim < 20 forces dense union buffers (lorads_sdp_conic.c:884)
+    problem = generators.random_multiblock(n_blocks=1, dim=10, m=5,
+                                           density=0.05, seed=6)
+    ps, _ = _setup(problem)
+    assert ps.plans[0].dense
+    # large sparse maxcut block stays sparse
+    problem = generators.maxcut(n=300, avg_degree=4, seed=0)
+    ps, _ = _setup(problem)
+    assert not ps.plans[0].dense
