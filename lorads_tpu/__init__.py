@@ -21,6 +21,14 @@ multi-block problems shard over a `jax.sharding.Mesh`.
 Reference parity: docstrings cite /root/reference/src_semi/<file>:<line>.
 """
 
+import jax as _jax
+
+# The algorithms (exact line search, ill-conditioned CG at rho up to
+# 1e6, DIMACS at 1e-7) need f64 accumulation; TPUs execute f64 as
+# software pairs, and the production f32 path is opt-in via
+# LoradsParams(dtype="f32").
+_jax.config.update("jax_enable_x64", True)
+
 from lorads_tpu.config import LoradsParams, SolverStatus
 from lorads_tpu.core.problem import SDPProblem
 from lorads_tpu.io.sdpa import read_sdpa, write_sdpa

@@ -1,0 +1,106 @@
+"""CLI mirroring the reference driver's 21 flags.
+
+Usage:  python -m lorads_tpu <file.dat-s> [--timesLogRank 2.0 ...]
+
+Flag names and defaults follow /root/reference/src_semi/main.c:19-80 so
+existing LoRADS comparison tooling keeps working.  Extra TPU-native
+flags are grouped at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lorads_tpu",
+        description="TPU-native low-rank SDP solver (LoRADS rebuild)")
+    p.add_argument("fname", help="SDPA sparse-format .dat-s file")
+    # reference getopt_long table (main.c:57-80)
+    p.add_argument("--initRho", type=float, default=0.0)
+    p.add_argument("--rhoMax", type=float, default=5000.0)
+    p.add_argument("--rhoCellingALM", type=float, default=1e8)
+    p.add_argument("--rhoCellingADMM", type=float, default=1e6)
+    p.add_argument("--maxALMIter", type=int, default=200)
+    p.add_argument("--maxADMMIter", type=int, default=10000)
+    p.add_argument("--timesLogRank", type=float, default=2.0)
+    p.add_argument("--rhoFreq", type=int, default=5)
+    p.add_argument("--rhoFactor", type=float, default=1.2)
+    p.add_argument("--ALMRhoFactor", type=float, default=2.0)
+    p.add_argument("--phase1Tol", type=float, default=1e-3)
+    p.add_argument("--phase2Tol", type=float, default=1e-5)
+    p.add_argument("--timeSecLimit", type=float, default=3600.0)
+    p.add_argument("--heuristicFactor", type=float, default=1.0)
+    p.add_argument("--lbfgsListLength", type=int, default=2)
+    p.add_argument("--endTauTol", type=float, default=1e-16)
+    p.add_argument("--endALMSubTol", type=float, default=1e-10)
+    p.add_argument("--l2Rescaling", type=int, default=0)
+    p.add_argument("--reoptLevel", type=int, default=2)
+    p.add_argument("--dyrankLevel", type=int, default=2)
+    p.add_argument("--highAccMode", type=int, default=0)
+    # TPU-native extensions
+    p.add_argument("--dtype", choices=["f64", "f32"], default="f64")
+    p.add_argument("--seed", type=int, default=925)
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from lorads_tpu.config import LoradsParams
+    from lorads_tpu.io.sdpa import read_sdpa
+    from lorads_tpu.alg.solver import LoradsSolver
+
+    print("-" * 59)
+    print(" LoRADS-TPU  |  low-rank SDP solver on JAX/XLA")
+    print("-" * 59)
+
+    t0 = time.time()
+    problem = read_sdpa(args.fname)
+    print(f"Reading SDPA file in {time.time() - t0:.6f} seconds")
+    print(f"nConstrs:{problem.m} nBlks:{problem.n_sdp_blocks} "
+          f"nLpCols:{problem.n_lp_cols}")
+
+    params = LoradsParams(
+        fname=args.fname, init_rho=args.initRho, rho_max=args.rhoMax,
+        rho_celling_alm=args.rhoCellingALM,
+        max_alm_iter=args.maxALMIter, max_admm_iter=args.maxADMMIter,
+        times_log_rank=args.timesLogRank, rho_freq=args.rhoFreq,
+        rho_factor=args.rhoFactor, alm_rho_factor=args.ALMRhoFactor,
+        phase1_tol=args.phase1Tol, phase2_tol=args.phase2Tol,
+        time_sec_limit=args.timeSecLimit,
+        heuristic_factor=args.heuristicFactor,
+        lbfgs_list_length=args.lbfgsListLength,
+        end_tau_tol=args.endTauTol, end_alm_sub_tol=args.endALMSubTol,
+        l2_rescaling=bool(args.l2Rescaling), reopt_level=args.reoptLevel,
+        dyrank_level=args.dyrankLevel, high_acc_mode=bool(args.highAccMode),
+        dtype=args.dtype, seed=args.seed, verbose=not args.quiet)
+
+    solver = LoradsSolver(problem, params)
+    res = solver.solve()
+
+    print(f"final ranks: {res.ranks}")
+    print("-" * 71)
+    print(f"End Program with status `{res.status.value}`:")
+    print("Objective function Value are:")
+    print(f"\t 1.Primal Objective:            : {res.pobj:10.6e}")
+    print(f"\t 2.Dual Objective:              : {res.dobj:10.6e}")
+    print("Dimacs Error are:")
+    print(f"\t 1.Constraint Violation(1)      : {res.pinf_l1:10.6e}")
+    print(f"\t 2.Dual Infeasibility(1)        : {res.dinf_l1:10.6e}")
+    print(f"\t 3.Primal Dual Gap              : {res.gap:10.6e}")
+    print(f"\t 4.Primal Variable Semidefinite : {0.0:10.6e}")
+    print(f"\t 5.Constraint Violation(Inf)    : {res.pinf_inf:10.6e}")
+    print(f"\t 6.Dual Infeasibility(Inf)      : {res.dinf_inf:10.6e}")
+    print("-" * 71)
+    print(f"solve time (s): {res.solve_time:.6f}")
+    print(f"dual infeasibility time (s): {res.dual_infeas_time:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

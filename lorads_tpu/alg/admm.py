@@ -1,0 +1,284 @@
+"""Phase II — ADMM splitting on X = U V^T.
+
+Per iteration (reference LORADSADMMOptimize,
+/root/reference/src_semi/lorads_alg/lorads_admm.c:33-157):
+
+  for each cone: U-update (CG), refresh caches, V-update (CG), refresh;
+  LP columns closed-form;  X_bar = (U+V)/2;  objective + DIMACS at
+  X_bar (this also REPLACES the constraint-value caches with
+  A(X_bar X_bar^T) — reference updateDimacsADMM semantics, kept
+  faithfully);  dual ascent at X_bar;  rho schedule with stagnation
+  escape; divergence and bad_pd guards.
+
+TPU adaptation: blocks inside one bucket update Jacobi-simultaneously
+(batched CG over [B, n, r]); buckets update Gauss-Seidel in sequence;
+LP columns update Jacobi.  For single-block buckets this matches the
+reference exactly; for multi-block buckets the fixed points coincide
+and parity is validated empirically (tests/test_solver.py).
+
+The iteration loop runs on device in chunks of <= 50 iterations (the
+reference's log cadence, lorads_admm.c:139) between host round trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lorads_tpu.alg import aop
+from lorads_tpu.alg.aop import ProblemData
+from lorads_tpu.alg.cg import cg_solve
+from lorads_tpu.alg.state import FactorVec
+from lorads_tpu.ops import lp as lp_ops
+from lorads_tpu.ops import pattern as pat
+
+# exit codes from a device chunk
+RUNNING, CONVERGED, NUM_ERR, BAD_PD, EARLY_STOP = 0, 1, 2, 3, 4
+
+
+@dataclasses.dataclass
+class ADMMStats:
+    """Host mirror of lorads_admm_state (def_lorads_solver.h)."""
+
+    rho: float
+    iter: int = 0
+    cg_iter: int = 0
+    pobj: float = 1e30
+    dobj: float = 1e30
+    pinf_l1: float = 1e30
+    pinf_inf: float = 1e30
+    gap: float = 1e30
+    dinf_l1: float = 1e30
+    dinf_inf: float = 1e30
+
+
+def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
+                        fixed_var, local_vals, constr_sum, dual, rho,
+                        cg_tol, cg_max):
+    """One side of the splitting for one bucket: solve for U with V
+    fixed (LORADSUpdateSDPVarOne, lorads_admm.c:428-480).
+
+    Returns (new_var, new_local_vals, new_constr_sum, cg_iters).
+
+    Jacobi inside the bucket: every block b must see
+    constrValSum - A_b(U_b V_b^T) (its OWN contribution removed, not
+    the whole bucket's).  In local coordinates that is a gather of
+    rho (S - b) - lambda minus rho * local_vals at the block's slots.
+    """
+    base = rho * (constr_sum - pd.rhs) - dual
+    w_loc = pat.gather_w(bk, base) - rho * local_vals   # M1, per block
+    W = pat.build_w(bk, w_loc)                          # C + A*(M1)
+    M2 = pat.w_mul(bk, W, fixed_var) - rho * fixed_var
+    rhs = -M2 / rho
+
+    def op(x):
+        vals = pat.constr_vals(bk, pat.uvt(bk, x, fixed_var))
+        Wop = pat.build_w(bk, vals, include_obj=False)
+        return x + pat.w_mul(bk, Wop, fixed_var)
+
+    new_var, iters = cg_solve(op, update_var, rhs, cg_tol, cg_max)
+    new_local = pat.constr_vals(bk, pat.uvt(bk, new_var, fixed_var))
+    new_sum = constr_sum + pat.scatter_constr(bk, new_local - local_vals)
+    return new_var, new_local, new_sum, iters
+
+
+def _update_lp_var(pd: ProblemData, upd, fixed, lp_contrib, constr_sum,
+                   dual, rho):
+    """Closed-form LP column updates, Jacobi over columns
+    (LORADSUpdateLPVarOne, lorads_admm.c:595-628).
+
+    lp_contrib is the cached A_lp(diag(u v)) m-vector.
+    """
+    lpd = pd.lp
+    base_w = rho * (constr_sum - pd.rhs) - dual
+    # per-column (Jacobi): wsum_j = c_j + a_j^T base_w
+    #                               - rho ||a_j||^2 u_j v_j
+    # where the last term removes column j's own contribution from
+    # constrValSum analytically (a_j^T a_j (u_j v_j) = ||a_j||^2 u_j v_j).
+    base = lp_ops.adjoint_cols(lpd, base_w)
+    corr = rho * lpd.col_nrm2sq * upd * fixed
+    wsum = lpd.obj + base - corr
+    m2 = wsum * fixed - rho * fixed
+    blin = -m2 / rho
+    new = blin / (1.0 + lpd.col_nrm2sq * fixed * fixed)
+    new_contrib = lp_ops.constr_vals(lpd, new * fixed)
+    new_sum = constr_sum + new_contrib - lp_contrib
+    return new, new_contrib, new_sum
+
+
+def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
+                    locals_: Tuple, lp_contrib, constr_sum, dual, rho,
+                    cg_tol, cg_max):
+    """One Gauss-Seidel sweep over buckets (U then V each), then LP.
+
+    Reference: LORADSUpdateSDPVar / LORADSUpdateSDPLPVar
+    (lorads_alg_common.c:187-248).
+    """
+    u_cones, v_cones = list(U.cones), list(V.cones)
+    locals_ = list(locals_)
+    cg_total = jnp.zeros((), jnp.int32)
+    for j, bk in enumerate(pd.buckets):
+        u_new, loc, constr_sum, it1 = _update_sdp_var_one(
+            pd, bk, u_cones[j], v_cones[j], locals_[j], constr_sum,
+            dual, rho, cg_tol, cg_max)
+        u_cones[j] = u_new
+        v_new, loc, constr_sum, it2 = _update_sdp_var_one(
+            pd, bk, v_cones[j], u_new, loc, constr_sum,
+            dual, rho, cg_tol, cg_max)
+        v_cones[j] = v_new
+        locals_[j] = loc
+        cg_total = cg_total + it1 + it2
+    lp_u, lp_v = U.lp, V.lp
+    if pd.lp is not None:
+        lp_u, lp_contrib, constr_sum = _update_lp_var(
+            pd, lp_u, lp_v, lp_contrib, constr_sum, dual, rho)
+        lp_v, lp_contrib, constr_sum = _update_lp_var(
+            pd, lp_v, lp_u, lp_contrib, constr_sum, dual, rho)
+    return (FactorVec(tuple(u_cones), lp_u),
+            FactorVec(tuple(v_cones), lp_v),
+            tuple(locals_), lp_contrib, constr_sum, cg_total)
+
+
+def _obj_dimacs_xbar(pd: ProblemData, U: FactorVec, V: FactorVec, dual,
+                     scale):
+    """pObj/dObj/pinf/gap at X_bar=(U+V)/2; returns the refreshed caches.
+
+    Reference: calObj_admm + updateDimacsADMM (lorads_admm.c:79-81,
+    lorads_alg_common.c:282-300).  Note the caches now hold
+    A(X_bar X_bar^T) — kept, matching the reference trajectory.
+    """
+    R = jax.tree.map(lambda u, v: 0.5 * (u + v), U, V)
+    pobj, locals_, total = aop.obj_and_auv(pd, R, R)
+    pobj = pobj / scale
+    dobj = jnp.vdot(pd.rhs, dual) / scale
+    pinf = aop.primal_infeas_l1(pd, total)
+    gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+    lp_contrib = (lp_ops.constr_vals(pd.lp, R.lp * R.lp)
+                  if pd.lp is not None else jnp.zeros_like(total))
+    return pobj, dobj, pinf, gap, locals_, lp_contrib, total
+
+
+def make_admm_chunk(params, reopt: bool):
+    """Build the jitted device loop for <=chunk ADMM iterations.
+
+    params fields are baked in statically (one compile per params set).
+    """
+    rho_freq = params.rho_freq
+    rho_factor = params.rho_factor
+    tol2 = params.phase2_tol
+    tol1 = params.phase1_tol
+    rho_celling = params.rho_celling_admm
+    cg_tol_mult = 1e-4 if reopt else 1e-2
+    bad_pd_limit = 200 if reopt else 800
+    escape_pow = float(rho_factor ** round(
+        math.log(rho_freq * 100) / math.log(rho_freq)))
+
+    def chunk(pd: ProblemData, U, V, locals_, lp_contrib, constr_sum,
+              dual, rho, cur_rho_max, pinf_buf, old_pinf_mean, bad_pd,
+              it, pinf_l1_0, gap_0, pobj0, dobj0, scale, iter_celling,
+              n_steps):
+
+        def pinf_l1_conv(pinf_l1, pinf_inf):
+            if reopt:
+                return pinf_l1 <= tol2
+            return pinf_inf <= tol2
+
+        def cond(c):
+            st = c["status"]
+            return (st == RUNNING) & (c["k"] < n_steps) & (
+                c["it"] < iter_celling)
+
+        def body(c):
+            cg_tol = jnp.minimum(c["pinf_l1"] * cg_tol_mult, 1e-8)
+            (U_, V_, locals__, lpc, csum, cg_it) = admm_update_all(
+                pd, c["U"], c["V"], c["locals"], c["lp_contrib"],
+                c["constr_sum"], c["dual"], c["rho"], cg_tol, 800)
+            pobj, dobj, pinf, gap, locals__, lpc, csum = _obj_dimacs_xbar(
+                pd, U_, V_, c["dual"], scale)
+            pinf_inf = pinf * (1.0 + pd.b_nrm1) / (1.0 + pd.b_nrm_inf)
+
+            i32 = lambda v: jnp.asarray(v, jnp.int32)
+            status = jnp.where(
+                (pinf_inf >= 1e10) | (gap >= 1 - 1e-8), i32(NUM_ERR),
+                i32(RUNNING))
+
+            bad_pd = c["bad_pd"]
+            bad_pd = jnp.where(gap <= tol2 * 5,
+                               jnp.maximum(0, bad_pd - 5), bad_pd)
+            bad_pd = jnp.where(gap >= tol1 * 1e2, bad_pd + 2,
+                               bad_pd).astype(jnp.int32)
+            status = jnp.where((status == RUNNING) & (bad_pd >= bad_pd_limit),
+                               i32(BAD_PD), status)
+
+            buf = c["pinf_buf"].at[c["count"] % 10].set(pinf_inf)
+
+            conv_now = pinf_l1_conv(pinf, pinf_inf)
+            status = jnp.where((status == RUNNING) & conv_now,
+                               i32(CONVERGED), status)
+
+            # dual ascent at X_bar (lorads_admm.c:120)
+            do_dual = status != CONVERGED
+            dual_n = jnp.where(do_dual,
+                               c["dual"] + c["rho"] * (pd.rhs - csum),
+                               c["dual"])
+
+            # rho schedule (lorads_admm.c:121-138)
+            it_n = c["it"]
+            sched_hit = ((it_n + (0 if reopt else 1)) % rho_freq == 0)
+            rho_n = jnp.where(sched_hit, c["rho"] * rho_factor, c["rho"])
+            hit_max = sched_hit & (rho_n >= c["cur_rho_max"])
+            rho_n = jnp.where(hit_max, c["cur_rho_max"], rho_n)
+            esc_hit = hit_max & (
+                ((it_n + (0 if reopt else 1)) % (rho_freq * 100)) == 0)
+            pinf_mean = jnp.sum(jnp.abs(buf)) / 10.0
+            escape = esc_hit & (pinf_mean / c["old_pinf_mean"] >= 0.65)
+            rho_n = jnp.where(escape, rho_n * escape_pow, rho_n)
+            cur_rho_max_n = jnp.where(escape, rho_n, c["cur_rho_max"])
+            old_mean_n = jnp.where(esc_hit, pinf_mean, c["old_pinf_mean"])
+            rho_n = jnp.minimum(rho_n, rho_celling)
+
+            early = (gap <= tol2 * 1e-3) & (pinf <= tol2 * 1e-3)
+            status = jnp.where((status == RUNNING) & early,
+                               i32(EARLY_STOP), status)
+
+            return dict(U=U_, V=V_, locals=tuple(locals__),
+                        lp_contrib=lpc, constr_sum=csum, dual=dual_n,
+                        rho=rho_n, cur_rho_max=cur_rho_max_n,
+                        pinf_buf=buf, old_pinf_mean=old_mean_n,
+                        bad_pd=bad_pd, it=it_n + 1, k=c["k"] + 1,
+                        pinf_l1=pinf, pinf_inf=pinf_inf, gap=gap,
+                        pobj=pobj, dobj=dobj, status=status,
+                        cg_iter=c["cg_iter"] + cg_it,
+                        count=c["count"] + 1)
+
+        dt = pd.rhs.dtype
+        carry = dict(
+            U=U, V=V, locals=tuple(locals_), lp_contrib=lp_contrib,
+            constr_sum=constr_sum, dual=dual, rho=rho,
+            cur_rho_max=cur_rho_max, pinf_buf=pinf_buf,
+            old_pinf_mean=old_pinf_mean, bad_pd=bad_pd, it=it,
+            k=jnp.zeros((), jnp.int32), pinf_l1=pinf_l1_0,
+            pinf_inf=pinf_l1_0 * (1.0 + pd.b_nrm1) / (1.0 + pd.b_nrm_inf),
+            gap=gap_0, pobj=pobj0, dobj=dobj0,
+            status=jnp.zeros((), jnp.int32),
+            cg_iter=jnp.zeros((), jnp.int32),
+            count=jnp.zeros((), jnp.int32))
+        return jax.lax.while_loop(cond, body, carry)
+
+    return jax.jit(chunk, static_argnames=())
+
+
+@jax.jit
+def admm_init_eval(pd: ProblemData, U: FactorVec, V: FactorVec, dual,
+                   scale):
+    """Entry evaluation (lorads_admm.c:47-58).  updateDimacsADMM leaves
+    the caches holding A(X_bar X_bar^T), so those are returned."""
+    pobj, dobj, pinf, gap, locals_, lp_contrib, total = _obj_dimacs_xbar(
+        pd, U, V, dual, scale)
+    return locals_, lp_contrib, total, pobj, dobj, pinf, gap

@@ -1,0 +1,162 @@
+"""Assembled problem operators over all buckets + the LP block.
+
+Puts the per-bucket kernels (ops/pattern.py) and LP kernels (ops/lp.py)
+together into whole-problem operations on FactorVecs:
+
+* ``auv``:        A(sym(U V^T)) -> per-bucket locals + global m-vector
+* ``obj_auv``:    <C, sym(U V^T)>
+* ``grad``:       2 (C + A^*(w)) U   for an m-vector w
+                  (reference ALMSetGrad, lorads_alm.c:9-38)
+
+ProblemData is the single device-resident description of the instance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lorads_tpu.alg.state import FactorVec
+from lorads_tpu.core.presolve import Presolved
+from lorads_tpu.ops import lp as lp_ops
+from lorads_tpu.ops import pattern as pat
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProblemData:
+    """Device-resident instance data (static layout in the pytree)."""
+
+    m: int = dataclasses.field(metadata=dict(static=True))
+    buckets: Tuple[pat.BucketData, ...] = ()
+    lp: Optional[lp_ops.LPData] = None
+    rhs: jnp.ndarray = None          # [m]
+    # scalar norm constants (cal_sdp_const, lorads_solver.c:1054-1073)
+    c_nrm1: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    c_nrm2: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    c_nrm_inf: float = dataclasses.field(default=0.0,
+                                         metadata=dict(static=True))
+    b_nrm1: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    b_nrm2: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    b_nrm_inf: float = dataclasses.field(default=0.0,
+                                         metadata=dict(static=True))
+
+    @property
+    def n_buckets(self) -> int:
+        return len(self.buckets)
+
+    @property
+    def has_lp(self) -> bool:
+        return self.lp is not None
+
+
+def build_problem_data(ps: Presolved, dtype) -> ProblemData:
+    buckets = tuple(pat.build_bucket_data(bp, ps.m, dtype)
+                    for bp in ps.buckets)
+    lpd = (lp_ops.build_lp_data(ps.problem.lp, dtype)
+           if ps.problem.lp is not None else None)
+    return ProblemData(
+        m=ps.m, buckets=buckets, lp=lpd,
+        rhs=jnp.asarray(ps.problem.rhs, dtype=dtype),
+        c_nrm1=ps.c_nrm1, c_nrm2=ps.c_nrm2, c_nrm_inf=ps.c_nrm_inf,
+        b_nrm1=ps.b_nrm1, b_nrm2=ps.b_nrm2, b_nrm_inf=ps.b_nrm_inf,
+    )
+
+
+def scale_objective(pd: ProblemData, s: float) -> ProblemData:
+    """Scale C by s in every block (reopt objScale_dualvar,
+    lorads_solver.c:1040-1052).  Norm constants intentionally stay
+    at their init values, matching the reference."""
+    buckets = tuple(
+        dataclasses.replace(bk, c_pat=bk.c_pat * s,
+                            c_pat_inner=bk.c_pat_inner * s,
+                            c_full=bk.c_full * s)
+        for bk in pd.buckets)
+    lpd = pd.lp
+    if lpd is not None:
+        lpd = dataclasses.replace(lpd, obj=lpd.obj * s)
+    return dataclasses.replace(pd, buckets=buckets, lp=lpd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-problem operators.
+# ---------------------------------------------------------------------------
+
+def auv(pd: ProblemData, X: FactorVec, Y: FactorVec):
+    """A(sym(X Y^T)): per-bucket local values and the global sum.
+
+    Reference: LORADSInitConstrValAll + InitConstrValSum
+    (lorads_alg_common.c:78-84, 134-157).
+    Returns (locals: tuple of [B, m_loc], total: [m]).
+    """
+    locals_ = []
+    total = jnp.zeros((pd.m,), dtype=pd.rhs.dtype)
+    for bk, U, V in zip(pd.buckets, X.cones, Y.cones):
+        vals = pat.constr_vals(bk, pat.uvt(bk, U, V))
+        locals_.append(vals)
+        total = total + pat.scatter_constr(bk, vals)
+    if pd.lp is not None:
+        total = total + lp_ops.constr_vals(pd.lp, X.lp * Y.lp)
+    return tuple(locals_), total
+
+
+def obj_and_auv(pd: ProblemData, X: FactorVec, Y: FactorVec):
+    """(<C, sym(XY^T)>, locals, total) in one pass (shares the UV^T).
+
+    Reference: LORADSObjConstrValAll (lorads_alg_common.c:105-124).
+    """
+    locals_ = []
+    total = jnp.zeros((pd.m,), dtype=pd.rhs.dtype)
+    obj = jnp.zeros((), dtype=pd.rhs.dtype)
+    for bk, U, V in zip(pd.buckets, X.cones, Y.cones):
+        uvt_val = pat.uvt(bk, U, V)
+        obj = obj + jnp.sum(pat.obj_inner(bk, uvt_val))
+        vals = pat.constr_vals(bk, uvt_val)
+        locals_.append(vals)
+        total = total + pat.scatter_constr(bk, vals)
+    if pd.lp is not None:
+        xy = X.lp * Y.lp
+        obj = obj + lp_ops.obj_inner(pd.lp, xy)
+        total = total + lp_ops.constr_vals(pd.lp, xy)
+    return obj, tuple(locals_), total
+
+
+def obj_only(pd: ProblemData, X: FactorVec, Y: FactorVec) -> jnp.ndarray:
+    """<C, sym(XY^T)> (reference LORADSCalObjRR_ALM, lorads_alm.c:1259)."""
+    obj = jnp.zeros((), dtype=pd.rhs.dtype)
+    for bk, U, V in zip(pd.buckets, X.cones, Y.cones):
+        obj = obj + jnp.sum(pat.obj_inner(bk, pat.uvt(bk, U, V)))
+    if pd.lp is not None:
+        obj = obj + lp_ops.obj_inner(pd.lp, X.lp * Y.lp)
+    return obj
+
+
+def grad(pd: ProblemData, R: FactorVec, w: jnp.ndarray) -> FactorVec:
+    """2 (C + A^*(w)) R over all blocks; LP: 2 (c_j + a_j^T w) r_j.
+
+    Reference: ALMCalGrad / ALMSetGradLP (lorads_alm.c:9-100) with
+    w = rho (A(RR^T) - b) - lambda computed by the caller.
+    """
+    cones = []
+    for bk, Rb in zip(pd.buckets, R.cones):
+        w_loc = pat.gather_w(bk, w)
+        W = pat.build_w(bk, w_loc)
+        cones.append(2.0 * pat.w_mul(bk, W, Rb))
+    if pd.lp is not None:
+        lp_g = 2.0 * (pd.lp.obj + lp_ops.adjoint_cols(pd.lp, w)) * R.lp
+    else:
+        lp_g = jnp.zeros_like(R.lp)
+    return FactorVec(tuple(cones), lp_g)
+
+
+def primal_infeas_l1(pd: ProblemData, total: jnp.ndarray) -> jnp.ndarray:
+    """||b - A(X)||_2 / (1 + ||b||_1).
+
+    Reference: primalInfeasibility (lorads_alg_common.c:250-258) — note
+    it is a 2-norm despite the "L1" DIMACS label.
+    """
+    return jnp.linalg.norm(pd.rhs - total) / (1.0 + pd.b_nrm1)

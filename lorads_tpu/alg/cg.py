@@ -1,0 +1,74 @@
+"""Batched matrix-free conjugate gradients over [B, n, r] unknowns.
+
+One CG instance per block, all blocks of a bucket advanced in lockstep
+with per-block convergence masking (a converged block's iterates stop
+changing; its alpha/beta are forced to 0).  Semantics mirror the
+reference CGSolve (/root/reference/src_semi/linalg/lorads_cgs.c:81-240):
+
+* stop when ||r||_2 / ||b||_1 < tol   (note the 1-norm scale)
+* true-residual restart every 20 iterations
+* warm start from the incoming x
+* alpha = <r,r>/<p,Ap>, beta = <r',r'>/<r,r>
+
+The operator is supplied as a closure X -> A(X) acting on [B, n, r].
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+RESTART_FREQ = 20
+
+
+def _bdot(x, y):
+    """Per-block dot: [B, n, r] x [B, n, r] -> [B]."""
+    return jnp.sum(x * y, axis=(1, 2))
+
+
+def cg_solve(op: Callable[[jnp.ndarray], jnp.ndarray], x0: jnp.ndarray,
+             b: jnp.ndarray, tol, max_iter) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve op(x) = b for each block.  Returns (x, iters_per_block)."""
+    b_nrm1 = jnp.sum(jnp.abs(b), axis=(1, 2))          # [B]
+    safe_b1 = jnp.where(b_nrm1 == 0, 1.0, b_nrm1)
+
+    r0 = b - op(x0)
+    res0 = jnp.sqrt(_bdot(r0, r0))
+    done0 = res0 / safe_b1 < tol
+
+    def cond(c):
+        x, r, p, res, done, k = c
+        return (~jnp.all(done)) & (k < max_iter)
+
+    def body(c):
+        x, r, p, res, done, k = c
+        Q = op(p)
+        qtr = _bdot(r, r)
+        ptq = _bdot(p, Q)
+        active = (~done).astype(x.dtype)
+        alpha = jnp.where(ptq != 0, qtr / jnp.where(ptq == 0, 1.0, ptq),
+                          0.0) * active
+        x = x + alpha[:, None, None] * p
+        r = r - alpha[:, None, None] * Q
+
+        # true-residual restart (lorads_cgs.c:195-211)
+        def restart(args):
+            x_, r_ = args
+            return b - op(x_)
+        r = jax.lax.cond(k % RESTART_FREQ == 0, restart,
+                         lambda args: args[1], (x, r))
+
+        qtr_new = _bdot(r, r)
+        res_new = jnp.sqrt(qtr_new)
+        nan_mask = jnp.isnan(res_new)
+        done_new = done | (res_new / safe_b1 < tol) | nan_mask
+        beta = jnp.where(qtr != 0, qtr_new / jnp.where(qtr == 0, 1.0, qtr),
+                         0.0) * active
+        p = r + beta[:, None, None] * p
+        return (x, r, p, res_new, done_new, k + 1)
+
+    carry = (x0, r0, r0, res0, done0, jnp.zeros((), jnp.int32))
+    x, r, p, res, done, k = jax.lax.while_loop(cond, body, carry)
+    return x, k

@@ -1,4 +1,483 @@
-LoradsSolver = None
+"""Solver orchestration: the TPU-native equivalent of main.c + lorads_solver.c.
 
-def solve(*a, **k):
-    raise NotImplementedError
+Pipeline (reference /root/reference/src_semi/main.c:263-520):
+
+  presolve -> rank policy -> random init -> Phase I (ALM) ->
+  handoff -> Phase II (ADMM) -> reopt level 1 -> dual infeasibility ->
+  reopt level 2 (x2) -> status classification -> report.
+
+All device work happens through the jitted pieces in alm.py/admm.py;
+this module owns lifecycle, dynamic-rank restarts (AUG_RANK), the
+objective rescaling of reopt, and the host-side schedule state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lorads_tpu.alg import admm as admm_mod
+from lorads_tpu.alg import alm as alm_mod
+from lorads_tpu.alg import aop
+from lorads_tpu.alg.admm import ADMMStats
+from lorads_tpu.alg.alm import ALMStats
+from lorads_tpu.alg.lanczos import lanczos_min_eig
+from lorads_tpu.alg.state import FactorVec, make_history
+from lorads_tpu.config import LoradsParams, SolverStatus
+from lorads_tpu.core.presolve import Presolved, presolve
+from lorads_tpu.core.problem import SDPProblem
+from lorads_tpu.ops import lp as lp_ops
+from lorads_tpu.ops import pattern as pat
+
+
+@dataclasses.dataclass
+class SolveResult:
+    status: SolverStatus
+    pobj: float
+    dobj: float
+    pinf_l1: float
+    pinf_inf: float
+    dinf_l1: float
+    dinf_inf: float
+    gap: float
+    alm_stats: ALMStats
+    admm_stats: ADMMStats
+    solve_time: float
+    dual_infeas_time: float
+    ranks: List[int]
+    R: FactorVec                       # X = R R^T (averaged factors)
+    dual: np.ndarray
+
+
+class LoradsSolver:
+    """Two-phase low-rank SDP solver (TPU-native LoRADS rebuild)."""
+
+    def __init__(self, problem: SDPProblem, params: Optional[LoradsParams]
+                 = None, group_buckets: bool = True):
+        self.params = params or LoradsParams()
+        self.problem = problem
+        self.ps: Presolved = presolve(problem, self.params,
+                                      group=group_buckets)
+        self.dtype = jnp.float64 if self.params.dtype == "f64" \
+            else jnp.float32
+        self.pd = aop.build_problem_data(self.ps, self.dtype)
+        self.m = problem.m
+        self.scale_obj_his = 1.0
+        self.max_alm_sub_iter = 5000          # reference global, alm.c:7
+        # global last-computed objective/DIMACS values, mirroring
+        # ASolver->pObjVal/dObjVal/dimacError which both phases write
+        # (the final report uses whichever phase updated them last,
+        # main.c:459-465 + lorads_solver.c:960-965)
+        self.pobj = 1e30
+        self.dobj = 1e30
+        self.gap = 1e30
+        self.pinf_l1 = 1e30
+        self.rho_max = self.params.rho_max
+        self.ranks = [bp.rank for bp in self.ps.buckets]
+        self.rank_maxes = [bp.rank_max for bp in self.ps.buckets]
+        self.log = print if self.params.verbose else (lambda *a, **k: None)
+        self._rng = np.random.default_rng(self.params.seed)
+        self._init_vars()
+        self._admm_chunk = admm_mod.make_admm_chunk(self.params, False)
+        self._admm_chunk_reopt = admm_mod.make_admm_chunk(self.params, True)
+
+    # ------------------------------------------------------------------
+    # Variables.
+    # ------------------------------------------------------------------
+
+    def _rand_factor(self, B, n, r, dims) -> jnp.ndarray:
+        """U(-1,1) triangular-distribution init (difference of two
+        uniforms), matching LORADS_RANDOM_rk_MAT
+        (lorads_solver.c:361-371); padded rows zeroed."""
+        x = (self._rng.random((B, n, r)) - self._rng.random((B, n, r)))
+        for b, d in enumerate(dims):
+            x[b, d:, :] = 0.0
+        return jnp.asarray(x, dtype=self.dtype)
+
+    def _rand_fv(self) -> FactorVec:
+        cones = []
+        for bp, r in zip(self.ps.buckets, self.ranks):
+            cones.append(self._rand_factor(bp.B, bp.n, r, bp.dims))
+        n_lp = self.problem.n_lp_cols
+        lp = jnp.asarray(self._rng.random(n_lp) - self._rng.random(n_lp),
+                         dtype=self.dtype)
+        return FactorVec(tuple(cones), lp)
+
+    def _init_vars(self):
+        self.R = self._rand_fv()
+        self.U = self._rand_fv()
+        self.V = self._rand_fv()
+        self.dual = jnp.zeros((self.m,), dtype=self.dtype)
+        self.hist = make_history(self.R, self.params.lbfgs_list_length)
+
+    # ------------------------------------------------------------------
+    # Dynamic rank augmentation (AUG_RANK, lorads_solver.c:806-906).
+    # ------------------------------------------------------------------
+
+    def is_rank_max(self) -> bool:
+        """CheckAllRankMax (lorads_solver.c:758-774)."""
+        return all(min(math.ceil(r), rm) >= rm
+                   for r, rm in zip(self.ranks, self.rank_maxes))
+
+    def _pad_cols(self, x: jnp.ndarray, new_r: int) -> jnp.ndarray:
+        """Append scaled-identity columns (lpRandomDiag,
+        lorads_solver.c:776-786)."""
+        B, n, r = x.shape
+        aug = new_r - r
+        if aug <= 0:
+            return x
+        rr = min(n, aug)
+        newcols = jnp.zeros((B, n, aug), dtype=x.dtype)
+        diag = jnp.eye(n, aug, dtype=x.dtype) / math.sqrt(max(rr, 1))
+        newcols = newcols + diag[None]
+        return jnp.concatenate([x, newcols], axis=2)
+
+    def aug_rank(self, factor: float = 1.5) -> bool:
+        """Grow every bucket's rank by `factor` (capped at rank_max);
+        returns whether every bucket is now at its cap."""
+        new_ranks = [min(math.ceil(r * factor), rm)
+                     for r, rm in zip(self.ranks, self.rank_maxes)]
+        for i, (r_old, r_new) in enumerate(zip(self.ranks, new_ranks)):
+            if r_new >= self.rank_maxes[i]:
+                self.log(f"**Rank truncated to sqrt(2m) cap on bucket {i}.")
+        self.R = FactorVec(tuple(self._pad_cols(x, nr) for x, nr
+                                 in zip(self.R.cones, new_ranks)), self.R.lp)
+        self.U = FactorVec(tuple(self._pad_cols(x, nr) for x, nr
+                                 in zip(self.U.cones, new_ranks)), self.U.lp)
+        self.V = FactorVec(tuple(self._pad_cols(x, nr) for x, nr
+                                 in zip(self.V.cones, new_ranks)), self.V.lp)
+        self.ranks = new_ranks
+        self.hist = make_history(self.R, self.params.lbfgs_list_length)
+        return self.is_rank_max()
+
+    # ------------------------------------------------------------------
+    # Phase I.
+    # ------------------------------------------------------------------
+
+    def alm_phase(self, stats: ALMStats, time_solve_start: float,
+                  reopt: bool = False, early_stop: bool = True,
+                  rho_update_factor: Optional[float] = None,
+                  max_alm_iter: Optional[int] = None) -> str:
+        factor = rho_update_factor or self.params.alm_rho_factor
+        while True:
+            res = alm_mod.alm_optimize(
+                self.pd, self.params, self.R, self.dual, self.hist, stats,
+                self.scale_obj_his, self.is_rank_max(), factor,
+                time_solve_start, self, reopt=reopt, early_stop=early_stop,
+                max_alm_iter=max_alm_iter, log=self.log)
+            self.R, self.dual, self.hist = res.R, res.dual, res.hist
+            self.pobj, self.dobj = stats.pobj, stats.dobj
+            self.gap, self.pinf_l1 = stats.gap, stats.pinf_l1
+            if res.action == "aug_rank":
+                self.log(f"increase the rank, factor:1.5 "
+                         f"(ranks {self.ranks} -> caps {self.rank_maxes})")
+                self.aug_rank(1.5)
+                continue
+            return res.action
+
+    # ------------------------------------------------------------------
+    # Handoff (LORADS_ALMtoADMM, lorads_solver.c:968-1004).
+    # ------------------------------------------------------------------
+
+    def alm_to_admm(self, alm_stats: ALMStats, admm_stats: ADMMStats):
+        self.V = self.R
+        self.U = self.R
+        admm_stats.pinf_l1 = alm_stats.pinf_l1
+        admm_stats.pinf_inf = alm_stats.pinf_inf
+        admm_stats.gap = alm_stats.gap
+        admm_stats.rho = alm_stats.rho * self.params.heuristic_factor
+        if alm_stats.rho > self.rho_max:
+            admm_stats.rho = min(
+                math.sqrt(max(self.rho_max, alm_stats.rho) / self.rho_max)
+                * self.rho_max, alm_stats.rho)
+            self.rho_max = admm_stats.rho
+
+    # ------------------------------------------------------------------
+    # Phase II.
+    # ------------------------------------------------------------------
+
+    def admm_phase(self, stats: ADMMStats, iter_celling: int,
+                   time_solve_start: float, reopt: bool = False) -> str:
+        p = self.params
+        if stats.gap <= p.phase2_tol and stats.pinf_l1 <= p.phase2_tol:
+            return "ok"
+        stats.rho = min(stats.rho, self.rho_max)
+        chunk_fn = self._admm_chunk_reopt if reopt else self._admm_chunk
+        t0 = time.time()
+
+        locals_, lp_contrib, total, pobj, dobj, pinf, gap = \
+            admm_mod.admm_init_eval(self.pd, self.U, self.V, self.dual,
+                                    jnp.asarray(self.scale_obj_his,
+                                                self.dtype))
+        stats.pobj, stats.dobj = float(pobj), float(dobj)
+        stats.pinf_l1, stats.gap = float(pinf), float(gap)
+        stats.pinf_inf = stats.pinf_l1 * (1 + self.pd.b_nrm1) / (
+            1 + self.pd.b_nrm_inf)
+        if reopt:
+            self.log("enter admm reopt")
+
+        dt = self.dtype
+        carry = dict(
+            U=self.U, V=self.V, locals_=locals_, lp_contrib=lp_contrib,
+            constr_sum=total, dual=self.dual,
+            rho=jnp.asarray(stats.rho, dt),
+            cur_rho_max=jnp.asarray(self.rho_max, dt),
+            pinf_buf=jnp.zeros((10,), dt),
+            old_pinf_mean=jnp.asarray(1e30, dt),
+            bad_pd=jnp.zeros((), jnp.int32),
+            it=jnp.asarray(stats.iter, jnp.int32),
+            pinf_l1_0=jnp.asarray(stats.pinf_l1, dt),
+            gap_0=jnp.asarray(stats.gap, dt),
+            pobj0=jnp.asarray(stats.pobj, dt),
+            dobj0=jnp.asarray(stats.dobj, dt))
+        scale = jnp.asarray(self.scale_obj_his, dt)
+        status = "ok"
+        while True:
+            out = chunk_fn(self.pd, carry["U"], carry["V"],
+                           carry["locals_"], carry["lp_contrib"],
+                           carry["constr_sum"], carry["dual"], carry["rho"],
+                           carry["cur_rho_max"], carry["pinf_buf"],
+                           carry["old_pinf_mean"], carry["bad_pd"],
+                           carry["it"], carry["pinf_l1_0"], carry["gap_0"],
+                           carry["pobj0"], carry["dobj0"], scale,
+                           jnp.asarray(iter_celling, jnp.int32),
+                           jnp.asarray(50, jnp.int32))
+            carry = dict(
+                U=out["U"], V=out["V"], locals_=out["locals"],
+                lp_contrib=out["lp_contrib"], constr_sum=out["constr_sum"],
+                dual=out["dual"], rho=out["rho"],
+                cur_rho_max=out["cur_rho_max"], pinf_buf=out["pinf_buf"],
+                old_pinf_mean=out["old_pinf_mean"], bad_pd=out["bad_pd"],
+                it=out["it"], pinf_l1_0=out["pinf_l1"],
+                gap_0=out["gap"], pobj0=out["pobj"], dobj0=out["dobj"])
+            stats.iter = int(out["it"])
+            stats.cg_iter = int(out["cg_iter"])
+            stats.rho = float(out["rho"])
+            stats.pobj, stats.dobj = float(out["pobj"]), float(out["dobj"])
+            stats.pinf_l1 = float(out["pinf_l1"])
+            stats.pinf_inf = float(out["pinf_inf"])
+            stats.gap = float(out["gap"])
+            code = int(out["status"])
+            nblk = sum(bp.B for bp in self.ps.buckets)
+            self.log(
+                f"ADMM Iter:{stats.iter} pObj:{stats.pobj:5.5e} "
+                f"dObj:{stats.dobj:5.5e} pInf(1):{stats.pinf_l1:5.5e} "
+                f"pInf(Inf):{stats.pinf_inf:5.5e} pdGap:{stats.gap:5.5e} "
+                f"rho:{stats.rho:3.2f} "
+                f"cgIter:{stats.cg_iter // max(nblk, 1)} "
+                f"Time:{time.time() - t0:3.2f}")
+            if code == admm_mod.NUM_ERR:
+                status = "num_err"
+                break
+            if code in (admm_mod.CONVERGED, admm_mod.EARLY_STOP,
+                        admm_mod.BAD_PD):
+                status = "ok"
+                break
+            if int(out["it"]) >= iter_celling:
+                status = "ok"
+                break
+            if time.time() - time_solve_start >= self.params.time_sec_limit:
+                status = "time_out"
+                break
+        self.U, self.V, self.dual = carry["U"], carry["V"], carry["dual"]
+        self.rho_max = float(carry["cur_rho_max"])
+        self.pobj, self.dobj = stats.pobj, stats.dobj
+        self.gap, self.pinf_l1 = stats.gap, stats.pinf_l1
+        return status
+
+    # ------------------------------------------------------------------
+    # Dual infeasibility certificate.
+    # ------------------------------------------------------------------
+
+    def dual_infeasibility(self) -> float:
+        """calculate_dual_infeasibility_solver (lorads_solver.c:1007-1037)."""
+        neg_l = -self.dual
+        dinf = 0.0
+        if self.pd.lp is not None:
+            vals = np.asarray(self.pd.lp.obj
+                              + lp_ops.adjoint_cols(self.pd.lp, neg_l))
+            dinf += float(np.sum(np.abs(np.minimum(vals, 0.0))))
+        for bk in self.pd.buckets:
+            w_loc = pat.gather_w(bk, neg_l)
+            W = pat.build_w(bk, w_loc)
+
+            def mv(x, bk=bk, W=W):
+                return pat.w_mul(bk, W, x[:, :, None])[:, :, 0]
+
+            v0 = jnp.asarray(
+                self._rng.standard_normal((bk.B, bk.n)), self.dtype)
+            # mask padded rows so they stay out of the Krylov space
+            row_ok = (jnp.arange(bk.n)[None, :]
+                      < jnp.asarray([p.dim for p in
+                                     self._bucket_plans(bk)])[:, None])
+            v0 = v0 * row_ok
+            lams = np.asarray(lanczos_min_eig(mv, v0))
+            dinf += float(np.sum(np.abs(np.minimum(lams, 0.0))))
+        dinf /= self.scale_obj_his
+        dinf /= (self.pd.c_nrm1 + 1.0)
+        return dinf
+
+    def _bucket_plans(self, bk):
+        for bp in self.ps.buckets:
+            if bp.n == bk.n and bp.B == bk.B and bp.K == bk.K:
+                return bp.plans
+        raise KeyError("bucket not found")
+
+    # ------------------------------------------------------------------
+    # Reopt (lorads_solver.c:1075-1117).
+    # ------------------------------------------------------------------
+
+    def reopt(self, alm_stats: ALMStats, admm_stats: ADMMStats,
+              reopt_param: float, reopt_alm_iter: int, reopt_admm_iter: int,
+              time_solve_start: float, admm_bad_iter_flag: int,
+              reopt_level: int) -> int:
+        p = self.params
+        max_alm = reopt_alm_iter - 1 + alm_stats.outer_iter
+        old_rho_max = self.rho_max
+
+        # scale objective & dual by reopt_param
+        self.scale_obj_his *= reopt_param
+        self.pd = aop.scale_objective(self.pd, reopt_param)
+        self.dual = self.dual * reopt_param
+
+        if admm_stats.rho <= self.rho_max:
+            alm_stats.rho = max(admm_stats.rho, alm_stats.rho)
+
+        self.alm_phase(alm_stats, time_solve_start, reopt=True,
+                       early_stop=True,
+                       rho_update_factor=math.sqrt(p.alm_rho_factor),
+                       max_alm_iter=max_alm)
+        self.rho_max = max(
+            math.sqrt(max(admm_stats.rho, alm_stats.rho) / admm_stats.rho)
+            * admm_stats.rho, self.rho_max)
+        self.alm_to_admm(alm_stats, admm_stats)
+        if admm_bad_iter_flag == 0 or reopt_level < 2:
+            celling = min(admm_stats.iter * 4,
+                          admm_stats.iter + reopt_admm_iter)
+            st = self.admm_phase(admm_stats, celling, time_solve_start,
+                                 reopt=True)
+            admm_bad_iter_flag = 1 if st == "bad_iter" else 0
+        self.rho_max = old_rho_max
+        return admm_bad_iter_flag
+
+    # ------------------------------------------------------------------
+    # Full solve (main.c:321-487).
+    # ------------------------------------------------------------------
+
+    def solve(self) -> SolveResult:
+        p = self.params
+        t_start = time.time()
+        alm_stats = ALMStats(rho=self.ps.rho0)
+        admm_stats = ADMMStats(rho=self.ps.rho0)
+        dual_infeas_time = 0.0
+        admm_bad_iter_flag = 0
+        status = SolverStatus.UNKNOWN
+
+        self.log("Start solving by ALM and ADMM")
+        action = self.alm_phase(alm_stats, t_start)
+        if action == "time_out" or time.time() - t_start > p.time_sec_limit:
+            status = SolverStatus.TIME_LIMIT
+        else:
+            self.alm_to_admm(alm_stats, admm_stats)
+            st = self.admm_phase(admm_stats, p.max_admm_iter, t_start)
+            if st == "time_out":
+                status = SolverStatus.TIME_LIMIT
+
+        # reopt level 1 (main.c:376-398)
+        if status is SolverStatus.UNKNOWN and p.reopt_level >= 1:
+            cnt = 0
+            while ((alm_stats.gap > p.phase2_tol
+                    or alm_stats.pinf_l1 > p.phase2_tol)
+                   and (admm_stats.gap > p.phase2_tol
+                        or admm_stats.pinf_l1 > p.phase2_tol)):
+                if cnt >= 1:
+                    break
+                self.log("****** reopt parameter: 5.0")
+                admm_bad_iter_flag = self.reopt(
+                    alm_stats, admm_stats, 5.0, 3, 50, t_start,
+                    admm_bad_iter_flag, 1)
+                cnt += 1
+                if time.time() - t_start > p.time_sec_limit:
+                    status = SolverStatus.TIME_LIMIT
+                    break
+
+        t_di = time.time()
+        dinf = self.dual_infeasibility()
+        dual_infeas_time += time.time() - t_di
+        admm_stats.dinf_l1 = dinf
+        admm_stats.dinf_inf = dinf * (1 + self.pd.c_nrm1) / (
+            1 + self.pd.c_nrm_inf)
+        self.log(f"Dual infeasibility: l_1 = {dinf:.6f}, "
+                 f"l_inf = {admm_stats.dinf_inf:.6f}")
+
+        # reopt level 2 (main.c:414-476)
+        if status is SolverStatus.UNKNOWN and p.reopt_level >= 2:
+            dual_cnt = 0
+            while (admm_stats.dinf_l1 > p.phase2_tol
+                   or admm_stats.gap > p.phase2_tol
+                   or admm_stats.pinf_l1 > p.phase2_tol):
+                if dual_cnt >= 2:
+                    break
+                if (not p.high_acc_mode
+                        and admm_stats.dinf_l1 <= 5 * p.phase2_tol
+                        and admm_stats.gap <= 5 * p.phase2_tol
+                        and admm_stats.pinf_l1 <= p.phase2_tol):
+                    break
+                self.log("****** reopt parameter: 5.0")
+                admm_bad_iter_flag = self.reopt(
+                    alm_stats, admm_stats, 5.0, 3, 50, t_start,
+                    admm_bad_iter_flag, 2)
+                # average U,V -> R; V <- R (main.c:438-448)
+                self.R = jax.tree.map(lambda u, v: 0.5 * (u + v),
+                                      self.U, self.V)
+                self.V = self.R
+                t_di = time.time()
+                dinf = self.dual_infeasibility()
+                dual_infeas_time += time.time() - t_di
+                admm_stats.dinf_l1 = dinf
+                admm_stats.dinf_inf = dinf * (1 + self.pd.c_nrm1) / (
+                    1 + self.pd.c_nrm_inf)
+                self.log(f"reopt {dual_cnt}: dual infeasibility l_1 = "
+                         f"{dinf:.6f}")
+                dual_cnt += 1
+                if time.time() - t_start > p.time_sec_limit:
+                    status = SolverStatus.TIME_LIMIT
+                    break
+
+        # status classification (main.c:478-487)
+        if status is SolverStatus.UNKNOWN:
+            if (admm_stats.dinf_l1 <= 5 * p.phase2_tol
+                    and admm_stats.gap <= 5 * p.phase2_tol
+                    and admm_stats.pinf_l1 <= p.phase2_tol):
+                status = SolverStatus.PRIMAL_DUAL_OPTIMAL
+            elif (admm_stats.gap <= 5 * p.phase2_tol
+                  and admm_stats.pinf_l1 <= p.phase2_tol):
+                status = SolverStatus.PRIMAL_OPTIMAL
+            else:
+                status = SolverStatus.MAXITER
+
+        Rbar = jax.tree.map(lambda u, v: 0.5 * (u + v), self.U, self.V)
+        pinf_inf = self.pinf_l1 * (1 + self.pd.b_nrm1) / (
+            1 + self.pd.b_nrm_inf)
+        return SolveResult(
+            status=status, pobj=self.pobj, dobj=self.dobj,
+            pinf_l1=self.pinf_l1, pinf_inf=pinf_inf,
+            dinf_l1=admm_stats.dinf_l1, dinf_inf=admm_stats.dinf_inf,
+            gap=self.gap, alm_stats=alm_stats, admm_stats=admm_stats,
+            solve_time=time.time() - t_start,
+            dual_infeas_time=dual_infeas_time, ranks=list(self.ranks),
+            R=Rbar, dual=np.asarray(self.dual))
+
+
+def solve(problem: SDPProblem, params: Optional[LoradsParams] = None,
+          **kw) -> SolveResult:
+    """One-call API: solve a standard-form SDP instance."""
+    if params is None:
+        params = LoradsParams(**kw)
+    return LoradsSolver(problem, params).solve()

@@ -126,10 +126,14 @@ def matrix_completion(n1: int = 60, n2: int = 60, true_rank: int = 3,
 def random_multiblock(n_blocks: int = 4, dim: int = 20, m: int = 30,
                       density: float = 0.3, n_lp: int = 0,
                       seed: int = 0) -> SDPProblem:
-    """Random feasible multi-block SDP (+ optional LP block).
+    """Random feasible BOUNDED multi-block SDP (+ optional LP block).
 
     Feasibility by construction: b = A(X0) for a random PSD X0 (and
     positive LP part), so the instance has a strictly feasible point.
+    Boundedness by construction: each block objective is shifted by
+    (|lambda_min| + 1) I so C is positive definite (then <C,X> >=
+    lambda_min(C) tr X >= 0 on the PSD cone), and LP costs are strictly
+    positive.
     """
     rng = np.random.default_rng(seed)
     blocks = []
@@ -144,6 +148,17 @@ def random_multiblock(n_blocks: int = 4, dim: int = 20, m: int = 30,
                     orow.append(r)
                     ocol.append(c)
                     oval.append(rng.standard_normal())
+        # PSD shift on the diagonal to make the instance bounded
+        orow0, ocol0, oval0 = _coo_dedup(orow, ocol, oval, dim)
+        Cd = np.zeros((dim, dim))
+        Cd[orow0, ocol0] = oval0
+        Cd = Cd + Cd.T - np.diag(np.diag(Cd))
+        shift = abs(float(np.linalg.eigvalsh(Cd)[0])) + 1.0
+        orow, ocol, oval = _coo_dedup(
+            np.concatenate([orow0, np.arange(dim)]),
+            np.concatenate([ocol0, np.arange(dim)]),
+            np.concatenate([oval0, np.full(dim, shift)]), dim)
+        orow, ocol, oval = list(orow), list(ocol), list(oval)
         for i in range(m):
             for r in range(dim):
                 for c in range(r + 1):
@@ -180,7 +195,7 @@ def random_multiblock(n_blocks: int = 4, dim: int = 20, m: int = 30,
                     vals.append(rng.standard_normal())
         lp = LPBlockData(
             n_cols=n_lp, m=m,
-            obj=rng.standard_normal(n_lp),
+            obj=np.abs(rng.standard_normal(n_lp)) + 0.1,
             a_con=np.array(cons, dtype=np.int32),
             a_col=np.array(colids, dtype=np.int32),
             a_val=np.array(vals, dtype=np.float64),

@@ -163,7 +163,7 @@ def uvt(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
 def _at_entries(bk: BucketData, uvt_val: jnp.ndarray) -> jnp.ndarray:
     """Pattern values of sym(UV^T) at the constraint entries [B, nnz_a]."""
     if bk.dense:
-        flat = uvt_val.reshape(bk.B, bk.n * bk.n)
+        flat = uvt_val.reshape(uvt_val.shape[0], bk.n * bk.n)
         return jnp.take_along_axis(flat, bk.a_lin, axis=1)
     return jnp.take_along_axis(uvt_val, bk.a_pos, axis=1)
 
@@ -202,20 +202,23 @@ def gather_w(bk: BucketData, w: jnp.ndarray) -> jnp.ndarray:
     return w1[bk.glob_idx]
 
 
-def build_w(bk: BucketData, w_loc: jnp.ndarray) -> jnp.ndarray:
-    """W = C + sum_i w_i A_i (as pattern values or full matrices).
+def build_w(bk: BucketData, w_loc: jnp.ndarray,
+            include_obj: bool = True) -> jnp.ndarray:
+    """W = [C +] sum_i w_i A_i (as pattern values or full matrices).
 
     Reference: addObjCoeff + sdpDataWSum (lorads_sdp_conic.c:327-339,
-    437-445, 633-641).
+    437-445, 633-641).  ``include_obj=False`` gives the pure adjoint
+    A^*(w) used inside the ADMM CG operator (lorads_admm.c:383-385).
     """
     wa = jnp.take_along_axis(w_loc, bk.a_con_loc, axis=1)
     if bk.dense:
         n2 = bk.n * bk.n
         pos = jnp.concatenate([bk.a_lin, bk.a_lin_t], axis=1)
         val = jnp.concatenate([bk.a_val * wa, bk.a_val_mirror * wa], axis=1)
-        W = batched_segment_sum(val, pos, n2).reshape(bk.B, bk.n, bk.n)
-        return bk.c_full + W
-    return bk.c_pat + batched_segment_sum(bk.a_val * wa, bk.a_pos, bk.K)
+        W = batched_segment_sum(val, pos, n2).reshape(-1, bk.n, bk.n)
+        return bk.c_full + W if include_obj else W
+    W = batched_segment_sum(bk.a_val * wa, bk.a_pos, bk.K)
+    return bk.c_pat + W if include_obj else W
 
 
 def w_mul(bk: BucketData, W: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,107 @@
+"""End-to-end solver tests on small instances (CPU, f64).
+
+Acceptance mirrors the reference's de-facto test: self-reported DIMACS
+errors at termination within the OPTIMAL bands
+(/root/reference/src_semi/main.c:478-487).
+"""
+
+import numpy as np
+import pytest
+
+from lorads_tpu import LoradsParams
+from lorads_tpu.alg.solver import LoradsSolver
+from lorads_tpu.config import SolverStatus
+from lorads_tpu.io import generators
+
+
+def _solve(problem, **kw):
+    kw.setdefault("verbose", False)
+    kw.setdefault("time_sec_limit", 300.0)
+    params = LoradsParams(**kw)
+    return LoradsSolver(problem, params).solve()
+
+
+def _oracle_pobj(problem, res):
+    """<C, X> from the returned factors (dense oracle)."""
+    total = 0.0
+    k = 0
+    # reconstruct bucket layout to map factors back to blocks
+    from lorads_tpu.core.presolve import presolve
+    ps = presolve(problem, LoradsParams())
+    for bi, bp in enumerate(ps.buckets):
+        Rb = np.asarray(res.R.cones[bi])
+        for b, plan in enumerate(bp.plans):
+            blk = problem.blocks[plan.index]
+            R = Rb[b][: blk.dim]
+            X = R @ R.T
+            total += np.sum(blk.dense_obj() * X)
+    if problem.lp is not None:
+        x = np.asarray(res.R.lp) ** 2
+        total += problem.lp.obj @ x
+    return total
+
+
+def test_maxcut_small_to_optimal():
+    problem = generators.maxcut(n=50, avg_degree=5, seed=3)
+    res = _solve(problem)
+    assert res.status in (SolverStatus.PRIMAL_DUAL_OPTIMAL,
+                          SolverStatus.PRIMAL_OPTIMAL)
+    assert res.pinf_l1 <= 1e-5
+    assert res.gap <= 5e-5
+    # objective consistent with the dense oracle at the final factors
+    assert res.pobj == pytest.approx(_oracle_pobj(problem, res), rel=1e-4,
+                                     abs=1e-4)
+
+
+def test_maxcut_matches_cvx_free_bound():
+    # SDP relaxation objective must lower-bound ... we check primal
+    # feasibility instead: diag(X)=1 at the solution.
+    problem = generators.maxcut(n=40, avg_degree=4, seed=1)
+    res = _solve(problem)
+    from lorads_tpu.core.presolve import presolve
+    R = np.asarray(res.R.cones[0])[0][:40]
+    X = R @ R.T
+    np.testing.assert_allclose(np.diag(X), 1.0, atol=1e-4)
+
+
+def test_multiblock_with_lp():
+    problem = generators.random_multiblock(n_blocks=3, dim=12, m=10,
+                                           n_lp=6, seed=2)
+    res = _solve(problem)
+    assert res.pinf_l1 <= 1e-4
+    assert res.gap <= 1e-3
+    # LP part stays elementwise nonnegative: x = u*v with u == v at X_bar
+    x = np.asarray(res.R.lp) ** 2
+    assert np.all(x >= -1e-12)
+
+
+def test_matrix_completion():
+    problem = generators.matrix_completion(n1=20, n2=20, true_rank=2,
+                                           frac_obs=0.5, seed=4)
+    res = _solve(problem)
+    assert res.pinf_l1 <= 1e-5
+    assert res.gap <= 5e-4
+
+
+def test_lovasz_theta():
+    problem = generators.lovasz_theta(n=25, avg_degree=6, seed=5)
+    res = _solve(problem)
+    assert res.pinf_l1 <= 1e-4
+    assert res.gap <= 1e-3
+
+
+def test_ungrouped_buckets_match_grouped():
+    """Bucketing (vmap grouping) must not change the solution class."""
+    problem = generators.random_multiblock(n_blocks=4, dim=10, m=8, seed=6)
+    params = LoradsParams(verbose=False)
+    r1 = LoradsSolver(problem, params, group_buckets=True).solve()
+    r2 = LoradsSolver(problem, params, group_buckets=False).solve()
+    assert r1.pobj == pytest.approx(r2.pobj, rel=5e-3, abs=5e-3)
+
+
+def test_deterministic_given_seed():
+    problem = generators.maxcut(n=30, avg_degree=4, seed=9)
+    r1 = _solve(problem, seed=925)
+    r2 = _solve(problem, seed=925)
+    assert r1.pobj == r2.pobj
+    assert r1.pinf_l1 == r2.pinf_l1
