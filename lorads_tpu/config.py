@@ -67,6 +67,7 @@ class LoradsParams:
     device_chunk_iters: int = 50     # ADMM iterations per device round-trip
     verbose: bool = True
     dense_threshold: float = 0.1     # union density above which block goes dense
+    per_matrix_dense_threshold: float = 0.1  # lorads_sdp_data.c:811-828
     dense_dim_threshold: int = 20    # dims below this always dense (conic.c:884)
     sparse_cone_threshold: float = 0.3   # lorads.h:13
     n_devices: Optional[int] = None  # None -> all local devices

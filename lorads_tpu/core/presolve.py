@@ -77,10 +77,11 @@ def plan_block(idx: int, blk: SDPBlockData, params: LoradsParams,
     union_density = K / tri if tri else 1.0
 
     # per-matrix dense detection (density > 0.1, lorads_sdp_data.c:811-828)
-    any_dense = blk.nnz_obj > 0.1 * tri
+    pm_thr = params.per_matrix_dense_threshold
+    any_dense = blk.nnz_obj > pm_thr * tri
     if not any_dense and blk.nnz_constr:
         counts = np.bincount(blk.a_con, minlength=blk.m)
-        any_dense = counts.max() > 0.1 * tri
+        any_dense = counts.max() > pm_thr * tri
 
     dense = (
         n < params.dense_dim_threshold

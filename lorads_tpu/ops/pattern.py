@@ -135,8 +135,8 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype) -> BucketData:
         pat_rows=i32(bp.pat_rows), pat_cols=i32(bp.pat_cols),
         c_pat=f(bp.c_pat), c_pat_inner=f(c_pat_inner),
         pat_offdiag=f(np.where(is_diag, 0.0, 1.0)), a_pos=i32(bp.a_pos),
-        a_lin=i32(zi), a_lin_t=i32(zi), a_val=f(z1), a_val_mirror=f(z1),
-        c_full=f(np.zeros((B, 1, 1))),
+        a_lin=i32(zi), a_lin_t=i32(zi), a_val=f(bp.a_val),
+        a_val_mirror=f(z1), c_full=f(np.zeros((B, 1, 1))),
     )
 
 

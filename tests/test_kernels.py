@@ -12,6 +12,11 @@ from lorads_tpu.ops import pattern as pat
 
 
 def _setup(problem, group=True, **pk):
+    # dense_threshold > 1 must force sparse mode: lift the per-matrix
+    # rule too (it silently forced dense mode and masked a sparse-mode
+    # build_w bug in round 1)
+    if pk.get("dense_threshold", 0) > 1:
+        pk.setdefault("per_matrix_dense_threshold", 1.1)
     params = LoradsParams(**pk)
     ps = presolve(problem, params, group=group)
     bks = [pat.build_bucket_data(bp, problem.m, jnp.float64)
@@ -41,6 +46,7 @@ def test_constr_and_obj_vals(dense_thr):
     problem = generators.random_multiblock(n_blocks=3, dim=12, m=9, seed=1)
     ps, bks = _setup(problem, dense_threshold=dense_thr,
                      dense_dim_threshold=0)
+    assert all(bk.dense == (dense_thr == 0.0) for bk in bks)
     r = 4
     total = np.zeros(problem.m)
     obj_total = 0.0
