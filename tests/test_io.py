@@ -87,3 +87,33 @@ def test_duplicate_entries_summed(tmp_path):
     prob = read_sdpa(str(p))
     A = prob.blocks[0].dense_constr(0)
     assert A[1, 0] == 3.0
+
+
+def test_native_reader_matches_python(tmp_path):
+    """C++ tokenizer path produces bit-identical problems."""
+    import numpy as np
+
+    from lorads_tpu import native as native_mod
+    from lorads_tpu.io import generators
+    from lorads_tpu.io.sdpa import (_read_sdpa_python, read_sdpa,
+                                    write_sdpa)
+
+    if native_mod.load() is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    f = str(tmp_path / "t.dat-s")
+    problem = generators.random_multiblock(n_blocks=2, dim=15, m=9,
+                                           n_lp=5, seed=11)
+    write_sdpa(f, problem)
+    p1 = read_sdpa(f, native=True)
+    p2 = _read_sdpa_python(f)
+    assert p1.m == p2.m
+    np.testing.assert_array_equal(p1.rhs, p2.rhs)
+    for a, b in zip(p1.blocks, p2.blocks):
+        np.testing.assert_array_equal(a.obj_val, b.obj_val)
+        np.testing.assert_array_equal(a.a_con, b.a_con)
+        np.testing.assert_array_equal(a.a_row, b.a_row)
+        np.testing.assert_array_equal(a.a_col, b.a_col)
+        np.testing.assert_array_equal(a.a_val, b.a_val)
+    np.testing.assert_array_equal(p1.lp.obj, p2.lp.obj)
+    np.testing.assert_array_equal(p1.lp.a_val, p2.lp.a_val)
