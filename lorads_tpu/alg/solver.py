@@ -292,6 +292,19 @@ class LoradsSolver:
         return status
 
     # ------------------------------------------------------------------
+    # Checkpoint / resume (no reference counterpart; SURVEY.md §5).
+    # ------------------------------------------------------------------
+
+    def save(self, path: str, alm_stats=None, admm_stats=None,
+             phase: str = "alm") -> None:
+        from lorads_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(path, self, alm_stats, admm_stats, phase)
+
+    def load(self, path: str) -> dict:
+        from lorads_tpu.utils.checkpoint import load_checkpoint
+        return load_checkpoint(path, self)
+
+    # ------------------------------------------------------------------
     # Dual infeasibility certificate.
     # ------------------------------------------------------------------
 
@@ -381,11 +394,16 @@ class LoradsSolver:
 
         self.log("Start solving by ALM and ADMM")
         action = self.alm_phase(alm_stats, t_start)
+        if p.checkpoint_path:
+            self.save(p.checkpoint_path, alm_stats, admm_stats, "post_alm")
         if action == "time_out" or time.time() - t_start > p.time_sec_limit:
             status = SolverStatus.TIME_LIMIT
         else:
             self.alm_to_admm(alm_stats, admm_stats)
             st = self.admm_phase(admm_stats, p.max_admm_iter, t_start)
+            if p.checkpoint_path:
+                self.save(p.checkpoint_path, alm_stats, admm_stats,
+                          "post_admm")
             if st == "time_out":
                 status = SolverStatus.TIME_LIMIT
 

@@ -71,6 +71,8 @@ class LoradsParams:
     dense_dim_threshold: int = 20    # dims below this always dense (conic.c:884)
     sparse_cone_threshold: float = 0.3   # lorads.h:13
     n_devices: Optional[int] = None  # None -> all local devices
+    checkpoint_path: Optional[str] = None  # save state at phase boundaries
+    trace_dir: Optional[str] = None  # jax.profiler trace output dir
 
     def __post_init__(self):
         self.rho_celling_admm = self.rho_max * 200.0

@@ -105,3 +105,25 @@ def test_deterministic_given_seed():
     r2 = _solve(problem, seed=925)
     assert r1.pobj == r2.pobj
     assert r1.pinf_l1 == r2.pinf_l1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """State saved mid-solve restores bit-exactly and resumes."""
+    import jax.numpy as jnp
+
+    problem = generators.maxcut(n=30, avg_degree=4, seed=9)
+    params = LoradsParams(verbose=False)
+    s1 = LoradsSolver(problem, params)
+    res1 = s1.solve()
+    path = str(tmp_path / "ckpt.npz")
+    s1.save(path, phase="final")
+
+    s2 = LoradsSolver(problem, LoradsParams(verbose=False))
+    meta = s2.load(path)
+    assert meta["phase"] == "final"
+    assert s2.ranks == s1.ranks
+    np.testing.assert_array_equal(np.asarray(s2.dual),
+                                  np.asarray(s1.dual))
+    for a, b in zip(s2.U.cones, s1.U.cones):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert s2.scale_obj_his == s1.scale_obj_his
