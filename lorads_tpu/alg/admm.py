@@ -112,23 +112,50 @@ def _update_lp_var(pd: ProblemData, upd, fixed, lp_contrib, constr_sum,
     return new, new_contrib, new_sum
 
 
+def _update_sdp_var_bucket_gs(pd: ProblemData, bk: pat.BucketData,
+                              upd, fixed, local_vals, constr_sum, dual,
+                              rho, cg_tol, cg_max):
+    """Sequential Gauss-Seidel over the blocks of one bucket via
+    lax.scan — exact reference sweep semantics
+    (lorads_alg_common.c:190-214) at the cost of serializing the
+    bucket's blocks.  Updates one side (U with V fixed)."""
+
+    def step(csum, xs):
+        bk_b, u_b, v_b, loc_b = xs
+        bk1 = jax.tree.map(lambda x: x[None], bk_b)
+        u1, loc1, csum1, it = _update_sdp_var_one(
+            pd, bk1, u_b[None], v_b[None], loc_b[None], csum, dual,
+            rho, cg_tol, cg_max)
+        return csum1, (u1[0], loc1[0], it)
+
+    csum, (u_new, loc_new, iters) = jax.lax.scan(
+        step, constr_sum, (bk, upd, fixed, local_vals))
+    return u_new, loc_new, csum, jnp.sum(iters, dtype=jnp.int32)
+
+
 def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
                     locals_: Tuple, lp_contrib, constr_sum, dual, rho,
-                    cg_tol, cg_max):
-    """One Gauss-Seidel sweep over buckets (U then V each), then LP.
+                    cg_tol, cg_max, jacobi: bool = False):
+    """One sweep over buckets (U then V each), then LP.
 
     Reference: LORADSUpdateSDPVar / LORADSUpdateSDPLPVar
-    (lorads_alg_common.c:187-248).
+    (lorads_alg_common.c:187-248).  Within a multi-block bucket the
+    default is sequential Gauss-Seidel (reference parity; stable);
+    jacobi=True updates all blocks of a bucket simultaneously
+    (parallel across devices, but can diverge at low rho on strongly
+    coupled blocks — validated per use).
     """
     u_cones, v_cones = list(U.cones), list(V.cones)
     locals_ = list(locals_)
     cg_total = jnp.zeros((), jnp.int32)
     for j, bk in enumerate(pd.buckets):
-        u_new, loc, constr_sum, it1 = _update_sdp_var_one(
+        upd_fn = (_update_sdp_var_one if jacobi or bk.B == 1
+                  else _update_sdp_var_bucket_gs)
+        u_new, loc, constr_sum, it1 = upd_fn(
             pd, bk, u_cones[j], v_cones[j], locals_[j], constr_sum,
             dual, rho, cg_tol, cg_max)
         u_cones[j] = u_new
-        v_new, loc, constr_sum, it2 = _update_sdp_var_one(
+        v_new, loc, constr_sum, it2 = upd_fn(
             pd, bk, v_cones[j], u_new, loc, constr_sum,
             dual, rho, cg_tol, cg_max)
         v_cones[j] = v_new
@@ -176,6 +203,7 @@ def make_admm_chunk(params, reopt: bool):
     rho_celling = params.rho_celling_admm
     cg_tol_mult = 1e-4 if reopt else 1e-2
     bad_pd_limit = 200 if reopt else 800
+    jacobi = getattr(params, "admm_jacobi", False)
     escape_pow = float(rho_factor ** round(
         math.log(rho_freq * 100) / math.log(rho_freq)))
 
@@ -198,7 +226,8 @@ def make_admm_chunk(params, reopt: bool):
             cg_tol = jnp.minimum(c["pinf_l1"] * cg_tol_mult, 1e-8)
             (U_, V_, locals__, lpc, csum, cg_it) = admm_update_all(
                 pd, c["U"], c["V"], c["locals"], c["lp_contrib"],
-                c["constr_sum"], c["dual"], c["rho"], cg_tol, 800)
+                c["constr_sum"], c["dual"], c["rho"], cg_tol, 800,
+                jacobi=jacobi)
             pobj, dobj, pinf, gap, locals__, lpc, csum = _obj_dimacs_xbar(
                 pd, U_, V_, c["dual"], scale)
             pinf_inf = pinf * (1.0 + pd.b_nrm1) / (1.0 + pd.b_nrm_inf)

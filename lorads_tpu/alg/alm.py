@@ -107,11 +107,12 @@ def alm_obj_dimacs(pd: ProblemData, R: FactorVec, dual, scale):
     return pobj, dobj, total, pinf, gap
 
 
-@partial(jax.jit, static_argnames=("check_pinf_conv",))
+@partial(jax.jit, static_argnames=("check_pinf_conv", "refresh_every"))
 def inner_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
                 hist: LBFGSHistory, dual, constr_sum, cert_val, rho,
                 cert_tol, end_sub_tol, end_tau_tol, phase1_tol, gap_ok,
-                max_local, check_pinf_conv: bool = True):
+                max_local, check_pinf_conv: bool = True,
+                refresh_every: int = 25):
     """The inner L-BFGS loop (lorads_alm.c:1073-1150) as one device loop.
 
     Exits when: certificate satisfied, local iteration cap, tau too
@@ -152,9 +153,15 @@ def inner_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
             w = rho * (cs_inc - pd.rhs) - dual
             gn = aop.grad(pd, Rn, w)
             hn = history_push(h_, D.scale(tau), y0 + gn)
-            # fresh recompute, matching updateDimacsALM every inner
-            # iteration (lorads_alm.c:1128-1130)
-            _, total = aop.auv(pd, Rn, Rn)
+            # The reference recomputes A(RR^T) fresh every inner
+            # iteration (updateDimacsALM, lorads_alm.c:1128-1130); the
+            # incremental sum cs_inc is exact in exact arithmetic, so
+            # we keep it and refresh only every `refresh_every` steps
+            # for floating-point hygiene — one A-pass saved per step.
+            total = jax.lax.cond(
+                it % refresh_every == refresh_every - 1,
+                lambda _: aop.auv(pd, Rn, Rn)[1],
+                lambda _: cs_inc, None)
             pinf = aop.primal_infeas_l1(pd, total)
             certn = jnp.sqrt(fv_norm2sq(gn)) / (1.0 + pd.c_nrm_inf)
             return Rn, gn, hn, total, certn, pinf

@@ -105,7 +105,18 @@ def alm_line_search(rho, lam, p1, p2, q0, q1, q2):
     c = p2 - rho * jnp.vdot(q0s, q2) + rho * q1n2 / 2.0
     d = p1 - rho * jnp.vdot(q0s, q1)
 
-    roots, num = cubic_roots(4.0 * a, 3.0 * b, 2.0 * c, d)
+    # Normalize the derivative cubic by its largest coefficient before
+    # the discriminant: roots are scale-invariant, and B^2 - 4AC on the
+    # raw coefficients overflows f32 for rho-scaled problems (observed
+    # ~1e47 on TPU), turning a healthy descent step into a spurious
+    # "no root" numerical failure.
+    ca, cb, cc, cd = 4.0 * a, 3.0 * b, 2.0 * c, d
+    scale = jnp.maximum(
+        jnp.maximum(jnp.abs(ca), jnp.abs(cb)),
+        jnp.maximum(jnp.abs(cc), jnp.abs(cd)))
+    scale = jnp.where(scale > 0, scale, 1.0)
+    roots, num = cubic_roots(ca / scale, cb / scale, cc / scale,
+                             cd / scale)
 
     f0 = jnp.zeros_like(a)
     f1 = _phi(a, b, c, d, 1.0)

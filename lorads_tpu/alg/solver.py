@@ -204,10 +204,53 @@ class LoradsSolver:
 
     def admm_phase(self, stats: ADMMStats, iter_celling: int,
                    time_solve_start: float, reopt: bool = False) -> str:
+        """One ADMM phase with divergence recovery.
+
+        Deviation from the reference: when the NUM_ERR guard trips
+        (lorads_admm.c:86-89) the reference keeps the diverged iterates
+        and relies on reopt to recover.  (Its ALM also tends to hand
+        over at a higher, stabler rho only because of an off-by-one in
+        bRHSNrmInf — idamax's 1-based index is used unconverted,
+        lorads_solver.c:1061 — which inflates pinf_inf and keeps ALM
+        running longer.)  With the norm computed correctly, the
+        splitting can genuinely be entered below its stable rho, so we
+        snapshot the entry state and on divergence restore it and
+        retry at 5x rho (up to twice) before giving up.
+        """
         p = self.params
         if stats.gap <= p.phase2_tol and stats.pinf_l1 <= p.phase2_tol:
             return "ok"
         stats.rho = min(stats.rho, self.rho_max)
+        entry = (self.U, self.V, self.dual, stats.rho)
+        for attempt in range(3):
+            st = self._admm_phase_once(stats, iter_celling,
+                                       time_solve_start, reopt)
+            if st != "num_err":
+                return st
+            # restore the entry point — never keep diverged iterates
+            self.U, self.V, self.dual, entry_rho = entry
+            if attempt == 2:
+                break
+            stats.rho = min(entry_rho * 5.0, p.rho_celling_admm)
+            entry = (self.U, self.V, self.dual, stats.rho)
+            self.log(f"ADMM diverged; restored entry state, retrying "
+                     f"at rho {stats.rho:.3f}")
+        # re-evaluate stats at the restored point so downstream phases
+        # see the true state, not the diverged one
+        _, _, _, pobj, dobj, pinf, gap = admm_mod.admm_init_eval(
+            self.pd, self.U, self.V, self.dual,
+            jnp.asarray(self.scale_obj_his, self.dtype))
+        stats.pobj, stats.dobj = float(pobj), float(dobj)
+        stats.pinf_l1, stats.gap = float(pinf), float(gap)
+        stats.pinf_inf = stats.pinf_l1 * (1 + self.pd.b_nrm1) / (
+            1 + self.pd.b_nrm_inf)
+        self.pobj, self.dobj = stats.pobj, stats.dobj
+        self.gap, self.pinf_l1 = stats.gap, stats.pinf_l1
+        return "num_err"
+
+    def _admm_phase_once(self, stats: ADMMStats, iter_celling: int,
+                         time_solve_start: float, reopt: bool) -> str:
+        p = self.params
         chunk_fn = self._admm_chunk_reopt if reopt else self._admm_chunk
         t0 = time.time()
 
@@ -247,7 +290,8 @@ class LoradsSolver:
                            carry["it"], carry["pinf_l1_0"], carry["gap_0"],
                            carry["pobj0"], carry["dobj0"], scale,
                            jnp.asarray(iter_celling, jnp.int32),
-                           jnp.asarray(50, jnp.int32))
+                           jnp.asarray(self.params.device_chunk_iters,
+                                       jnp.int32))
             carry = dict(
                 U=out["U"], V=out["V"], locals_=out["locals"],
                 lp_contrib=out["lp_contrib"], constr_sum=out["constr_sum"],

@@ -71,6 +71,7 @@ class LoradsParams:
     dense_dim_threshold: int = 20    # dims below this always dense (conic.c:884)
     sparse_cone_threshold: float = 0.3   # lorads.h:13
     n_devices: Optional[int] = None  # None -> all local devices
+    admm_jacobi: bool = False        # Jacobi within multi-block buckets
     checkpoint_path: Optional[str] = None  # save state at phase boundaries
     trace_dir: Optional[str] = None  # jax.profiler trace output dir
 
