@@ -18,18 +18,24 @@ import os
 import sys
 import time
 
-BASELINE_SECONDS = 10.0  # reference wall-clock anchor (BASELINE.md)
+# Reference C LoRADS wall-clock measured on this machine (BASELINE.md,
+# "Measured on this machine"): maxcut n=2000 deg6 -> 0.367 s total,
+# n=20000 deg8 -> 28.12 s total.
+BASELINES = {2000: 0.367, 20000: 28.12}
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", "2000"))
+    n = int(os.environ.get("BENCH_N", "20000"))
+    deg = 8 if n >= 20000 else 6
     from lorads_tpu.io import generators
     from lorads_tpu import LoradsParams
     from lorads_tpu.alg.solver import LoradsSolver
 
-    problem = generators.maxcut(n=n, avg_degree=6, seed=7)
+    problem = generators.maxcut(n=n, avg_degree=deg, seed=7)
+    # f32: TPUs execute f64 as slow software emulation and the
+    # residual-based certificates hold at f32 (see README Precision)
     params = LoradsParams(verbose=False, time_sec_limit=600.0,
-                          reopt_level=2)
+                          reopt_level=2, dtype="f32")
     solver = LoradsSolver(problem, params)
 
     # warm the jit caches on the tiny shapes first is not possible
@@ -46,12 +52,12 @@ def main():
 
     ok = (res.pinf_l1 <= params.phase2_tol
           and res.gap <= 5 * params.phase2_tol)
+    base = BASELINES.get(n, 0.367 * n / 2000.0)
     out = {
         "metric": f"maxcut_n{n}_time_to_1e-5",
         "value": round(solve_seconds, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / max(solve_seconds, 1e-9),
-                             3),
+        "vs_baseline": round(base / max(solve_seconds, 1e-9), 3),
         "converged": bool(ok),
         "status": res.status.value,
         "pinf_l1": res.pinf_l1,

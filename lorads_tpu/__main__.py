@@ -49,6 +49,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import signal
+
+    def _sigint(sig, frame):
+        # clean exit like LUtilStartCtrlCCheck (lorads_utils.c:341-365)
+        print("\nmonitor: caught Ctrl-C, exiting.")
+        raise SystemExit(130)
+
+    signal.signal(signal.SIGINT, _sigint)
     args = build_parser().parse_args(argv)
 
     from lorads_tpu.config import LoradsParams

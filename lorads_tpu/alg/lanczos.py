@@ -5,10 +5,12 @@ dsaupd_/dseupd_ ("SA", ncv=40, tol=1e-2, maxit=600) used for the dual
 infeasibility certificate lambda_min(C - A^*(lambda))
 (/root/reference/src_semi/data/lorads_sdp_conic.c:1286-1349).
 
-Full-reorthogonalization Lanczos with Ritz-vector restarts, batched
-over the bucket axis: the operator maps [B, n] -> [B, n].  The target
-tolerance matches ARPACK's loose 1e-2; restarts make it robust on
-clustered spectra.
+Design: the k-step full-reorthogonalization sweep (all matvecs) runs
+on device as one jitted fori_loop batched over the bucket axis; the
+k x k tridiagonal eigenproblem and the Ritz-restart logic run on host
+in float64 — it is O(k^2) work at termination time, and keeping it off
+the accelerator avoids a slow batched-eigh compile and any f32
+degradation of the certificate itself.
 """
 
 from __future__ import annotations
@@ -18,70 +20,75 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bnorm(x):
     return jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
 
 
-@partial(jax.jit, static_argnames=("matvec", "k", "restarts"))
-def lanczos_min_eig(matvec: Callable, v0: jnp.ndarray, k: int = 48,
-                    restarts: int = 3):
-    """Smallest eigenvalue of each block's symmetric operator.
+@partial(jax.jit, static_argnames=("matvec", "k"))
+def lanczos_sweep(matvec: Callable, v0: jnp.ndarray, k: int):
+    """One k-step Lanczos sweep with full reorthogonalization.
 
-    v0: [B, n] start vectors (random).  Returns eigenvalues [B].
+    v0: [B, n].  Returns (alphas [k, B], betas [k, B], Vs [k, B, n],
+    alive [B, 1]); alpha slots after a breakdown hold +1e30 so the
+    dead tail never contributes the minimum.
     """
     B, n = v0.shape
-    k = min(k, n)
     dt = v0.dtype
     BIG = jnp.asarray(1e30, dt)
 
-    def one_sweep(v_start):
-        v = v_start / jnp.maximum(_bnorm(v_start), 1e-30)
-        Vs = jnp.zeros((k, B, n), dt)
-        alphas = jnp.full((k, B), BIG)
-        betas = jnp.zeros((k, B), dt)
-        alive = jnp.ones((B, 1), dt)
+    v = v0 / jnp.maximum(_bnorm(v0), 1e-30)
+    Vs = jnp.zeros((k, B, n), dt)
+    alphas = jnp.full((k, B), BIG)
+    betas = jnp.zeros((k, B), dt)
+    alive = jnp.ones((B, 1), dt)
 
-        def step(j, carry):
-            v, v_prev, beta_prev, Vs, alphas, betas, alive = carry
-            w = matvec(v)
-            a = jnp.sum(w * v, axis=-1)
-            w = w - a[:, None] * v - beta_prev * v_prev
-            # full reorthogonalization against stored basis
-            coef = jnp.einsum("kbn,bn->kb", Vs, w)
-            w = w - jnp.einsum("kbn,kb->bn", Vs, coef)
-            b = _bnorm(w)
-            alive_next = alive * (b[:, 0:1] > 1e-12).astype(dt)
-            v_next = jnp.where(b > 1e-30, w / jnp.maximum(b, 1e-30), 0.0)
-            Vs = Vs.at[j].set(v * alive)
-            alphas = alphas.at[j].set(
-                jnp.where(alive[:, 0] > 0, a, BIG))
-            betas = betas.at[j].set(
-                jnp.where(alive_next[:, 0] > 0, b[:, 0], 0.0))
-            return (v_next, v, b, Vs, alphas, betas, alive_next)
+    def step(j, carry):
+        v, v_prev, beta_prev, Vs, alphas, betas, alive = carry
+        w = matvec(v)
+        a = jnp.sum(w * v, axis=-1)
+        w = w - a[:, None] * v - beta_prev * v_prev
+        coef = jnp.einsum("kbn,bn->kb", Vs, w)
+        w = w - jnp.einsum("kbn,kb->bn", Vs, coef)
+        b = _bnorm(w)
+        alive_next = alive * (b[:, 0:1] > 1e-12).astype(dt)
+        v_next = jnp.where(b > 1e-30, w / jnp.maximum(b, 1e-30), 0.0)
+        Vs = Vs.at[j].set(v * alive)
+        alphas = alphas.at[j].set(jnp.where(alive[:, 0] > 0, a, BIG))
+        betas = betas.at[j].set(
+            jnp.where(alive_next[:, 0] > 0, b[:, 0], 0.0))
+        return (v_next, v, b, Vs, alphas, betas, alive_next)
 
-        carry = (v, jnp.zeros_like(v), jnp.zeros((B, 1), dt),
-                 Vs, alphas, betas, alive)
-        v, v_prev, _, Vs, alphas, betas, alive = jax.lax.fori_loop(
-            0, k, step, carry)
+    carry = (v, jnp.zeros_like(v), jnp.zeros((B, 1), dt),
+             Vs, alphas, betas, alive)
+    carry = jax.lax.fori_loop(0, k, step, carry)
+    _, _, _, Vs, alphas, betas, alive = carry
+    return alphas, betas, Vs, alive
 
-        # tridiagonal T per block, off-diagonals beta[0..k-2]
-        T = jnp.zeros((B, k, k), dt)
-        ii = jnp.arange(k)
-        T = T.at[:, ii, ii].set(alphas.T)
-        if k > 1:
-            jj = jnp.arange(k - 1)
-            off = betas.T[:, :-1]
-            T = T.at[:, jj, jj + 1].set(off)
-            T = T.at[:, jj + 1, jj].set(off)
-        evals, evecs = jnp.linalg.eigh(T)
-        lam = evals[:, 0]                       # smallest per block
-        y = evecs[:, :, 0]                      # [B, k]
-        ritz = jnp.einsum("kbn,bk->bn", Vs, y)
-        return lam, ritz
 
-    lam, ritz = one_sweep(v0)
-    for _ in range(restarts - 1):
-        lam, ritz = one_sweep(ritz)
+def lanczos_min_eig(matvec: Callable, v0: jnp.ndarray, k: int = 48,
+                    restarts: int = 3) -> np.ndarray:
+    """Smallest eigenvalue per block.  Host-side restarts + f64 eigh
+    of the tridiagonal T; device-side sweeps."""
+    B, n = v0.shape
+    k = min(k, n)
+    v = v0
+    lam = np.zeros(B)
+    for _ in range(restarts):
+        alphas, betas, Vs, _ = lanczos_sweep(matvec, v, k)
+        al = np.asarray(alphas, dtype=np.float64)     # [k, B]
+        be = np.asarray(betas, dtype=np.float64)
+        Vs_h = np.asarray(Vs)                         # [k, B, n]
+        ritz = np.zeros((B, n), dtype=Vs_h.dtype)
+        for b in range(B):
+            T = np.diag(al[:, b])
+            if k > 1:
+                off = be[:-1, b]
+                T += np.diag(off, 1) + np.diag(off, -1)
+            evals, evecs = np.linalg.eigh(T)
+            lam[b] = evals[0]
+            ritz[b] = np.einsum("kn,k->n", Vs_h[:, b, :], evecs[:, 0])
+        v = jnp.asarray(ritz, dtype=v0.dtype)
     return lam

@@ -94,8 +94,13 @@ class LoradsSolver:
     def _rand_factor(self, B, n, r, dims) -> jnp.ndarray:
         """U(-1,1) triangular-distribution init (difference of two
         uniforms), matching LORADS_RANDOM_rk_MAT
-        (lorads_solver.c:361-371); padded rows zeroed."""
-        x = (self._rng.random((B, n, r)) - self._rng.random((B, n, r)))
+        (lorads_solver.c:361-371); padded rows zeroed.  With
+        fix_init_point, all-ones (FIX_INI_POINT debug mode,
+        lorads_solver.c:441-445) for step-by-step A/B debugging."""
+        if self.params.fix_init_point:
+            x = np.ones((B, n, r))
+        else:
+            x = (self._rng.random((B, n, r)) - self._rng.random((B, n, r)))
         for b, d in enumerate(dims):
             x[b, d:, :] = 0.0
         return jnp.asarray(x, dtype=self.dtype)
@@ -105,8 +110,16 @@ class LoradsSolver:
         for bp, r in zip(self.ps.buckets, self.ranks):
             cones.append(self._rand_factor(bp.B, bp.n, r, bp.dims))
         n_lp = self.problem.n_lp_cols
-        lp = jnp.asarray(self._rng.random(n_lp) - self._rng.random(n_lp),
-                         dtype=self.dtype)
+        if self.params.fix_init_point:
+            # lpFix: e_1 (lorads_solver.c:391-404)
+            lp_np = np.zeros(n_lp)
+            if n_lp:
+                lp_np[0] = 1.0
+            lp = jnp.asarray(lp_np, dtype=self.dtype)
+        else:
+            lp = jnp.asarray(
+                self._rng.random(n_lp) - self._rng.random(n_lp),
+                dtype=self.dtype)
         return FactorVec(tuple(cones), lp)
 
     def _init_vars(self):
@@ -374,7 +387,7 @@ class LoradsSolver:
                       < jnp.asarray([p.dim for p in
                                      self._bucket_plans(bk)])[:, None])
             v0 = v0 * row_ok
-            lams = np.asarray(lanczos_min_eig(mv, v0))
+            lams = lanczos_min_eig(mv, v0)
             dinf += float(np.sum(np.abs(np.minimum(lams, 0.0))))
         dinf /= self.scale_obj_his
         dinf /= (self.pd.c_nrm1 + 1.0)

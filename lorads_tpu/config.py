@@ -72,6 +72,8 @@ class LoradsParams:
     sparse_cone_threshold: float = 0.3   # lorads.h:13
     n_devices: Optional[int] = None  # None -> all local devices
     admm_jacobi: bool = False        # Jacobi within multi-block buckets
+    fix_init_point: bool = False     # deterministic all-ones init
+                                     # (FIX_INI_POINT, lorads_solver.c:441)
     checkpoint_path: Optional[str] = None  # save state at phase boundaries
     trace_dir: Optional[str] = None  # jax.profiler trace output dir
 
