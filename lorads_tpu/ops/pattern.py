@@ -150,8 +150,11 @@ def uvt(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
     Reference: LORADSUVt (lorads_alg_common.c:21-68).
     """
     if bk.dense:
+        # HIGHEST: keep full f32 accumulate on the MXU (TPU f32 matmul
+        # otherwise truncates inputs to bf16)
         UVt = jnp.einsum("bnr,bmr->bnm", U, V,
-                         preferred_element_type=U.dtype)
+                         preferred_element_type=U.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
         return 0.5 * (UVt + jnp.swapaxes(UVt, 1, 2))
     ur = take_rows(U, bk.pat_rows)
     vc = take_rows(V, bk.pat_cols)
@@ -228,7 +231,8 @@ def w_mul(bk: BucketData, W: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     """
     if bk.dense:
         return jnp.einsum("bnm,bmr->bnr", W, X,
-                          preferred_element_type=X.dtype)
+                          preferred_element_type=X.dtype,
+                          precision=jax.lax.Precision.HIGHEST)
     xc = take_rows(X, bk.pat_cols)
     lower = batched_segment_sum(W[:, :, None] * xc, bk.pat_rows, bk.n)
     xr = take_rows(X, bk.pat_rows)

@@ -127,3 +127,13 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(s2.U.cones, s1.U.cones):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert s2.scale_obj_his == s1.scale_obj_his
+
+
+def test_jacobi_bucket_mode():
+    """admm_jacobi=True (sharded-execution mode) still converges on a
+    weakly coupled multi-block instance."""
+    problem = generators.random_multiblock(n_blocks=4, dim=10, m=8,
+                                           seed=6)
+    res = _solve(problem, admm_jacobi=True)
+    assert res.pinf_l1 <= 1e-4
+    assert res.gap <= 1e-3
