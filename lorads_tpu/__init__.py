@@ -29,6 +29,25 @@ import jax as _jax
 # LoradsParams(dtype="f32").
 _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: solver graphs are large (whole ALM /
+# ADMM loops) and TPU backends may compile remotely; caching across
+# processes turns minutes of warm-up into milliseconds.  Opt out with
+# LORADS_TPU_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("LORADS_TPU_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "LORADS_TPU_COMPILE_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache",
+                      "lorads_tpu_xla"))
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:
+        pass
+
 from lorads_tpu.config import LoradsParams, SolverStatus
 from lorads_tpu.core.problem import SDPProblem
 from lorads_tpu.io.sdpa import read_sdpa, write_sdpa
