@@ -138,9 +138,8 @@ def inner_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
         h_ = jax.lax.cond(it % 300 == 0, history_reset, lambda h: h, h_)
         D = lbfgs_direction(h_, g_)
         q0 = pd.rhs - cs_
-        p1, _, q1 = aop.obj_and_auv(pd, R_, D)
+        p1, q1, p2, q2 = aop.obj_and_auv_pair(pd, R_, D)
         p1, q1 = 2.0 * p1, 2.0 * q1
-        p2, _, q2 = aop.obj_and_auv(pd, D, D)
         tau, num = alm_line_search(rho, dual, p1, p2, q0, q1, q2)
         num_err = num == 0
         tau_small = (~num_err) & (jnp.abs(tau) < end_tau_tol)

@@ -125,6 +125,45 @@ def obj_and_auv(pd: ProblemData, X: FactorVec, Y: FactorVec):
     return obj, tuple(locals_), total
 
 
+def obj_and_auv_pair(pd: ProblemData, R: FactorVec, D: FactorVec):
+    """Fused evaluation of <C,.>/A(.) at sym(RD^T) AND sym(DD^T).
+
+    The ALM line search needs both every inner iteration
+    (ALMCalq12p12, lorads_alm.c:540-560); fusing shares the pattern
+    row/col gathers of R and D (4 gathers instead of 6 per bucket).
+    Returns (p1, total1, p2, total2) with p=objective inner products
+    and total=global constraint vectors.
+    """
+    dt = pd.rhs.dtype
+    p1 = jnp.zeros((), dt)
+    p2 = jnp.zeros((), dt)
+    t1 = jnp.zeros((pd.m,), dt)
+    t2 = jnp.zeros((pd.m,), dt)
+    for bk, Rb, Db in zip(pd.buckets, R.cones, D.cones):
+        if bk.dense:
+            uv_rd = pat.uvt(bk, Rb, Db)
+            uv_dd = pat.uvt(bk, Db, Db)
+        else:
+            Rr = pat.take_rows(Rb, bk.pat_rows)
+            Rc = pat.take_rows(Rb, bk.pat_cols)
+            Dr = pat.take_rows(Db, bk.pat_rows)
+            Dc = pat.take_rows(Db, bk.pat_cols)
+            uv_rd = 0.5 * (jnp.sum(Rr * Dc, -1) + jnp.sum(Rc * Dr, -1))
+            uv_dd = jnp.sum(Dr * Dc, -1)
+        p1 = p1 + jnp.sum(pat.obj_inner(bk, uv_rd))
+        p2 = p2 + jnp.sum(pat.obj_inner(bk, uv_dd))
+        t1 = t1 + pat.scatter_constr(bk, pat.constr_vals(bk, uv_rd))
+        t2 = t2 + pat.scatter_constr(bk, pat.constr_vals(bk, uv_dd))
+    if pd.lp is not None:
+        rd = R.lp * D.lp
+        dd = D.lp * D.lp
+        p1 = p1 + lp_ops.obj_inner(pd.lp, rd)
+        p2 = p2 + lp_ops.obj_inner(pd.lp, dd)
+        t1 = t1 + lp_ops.constr_vals(pd.lp, rd)
+        t2 = t2 + lp_ops.constr_vals(pd.lp, dd)
+    return p1, t1, p2, t2
+
+
 def obj_only(pd: ProblemData, X: FactorVec, Y: FactorVec) -> jnp.ndarray:
     """<C, sym(XY^T)> (reference LORADSCalObjRR_ALM, lorads_alm.c:1259)."""
     obj = jnp.zeros((), dtype=pd.rhs.dtype)
