@@ -29,6 +29,11 @@ import jax as _jax
 # LoradsParams(dtype="f32").
 _jax.config.update("jax_enable_x64", True)
 
+# TPU f32 matmuls/dots truncate inputs to bf16 by default; every dot
+# here is DIMACS-critical (line-search coefficients, L-BFGS curvature,
+# CG reductions), so force full-precision accumulation globally.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: solver graphs are large (whole ALM /
 # ADMM loops) and TPU backends may compile remotely; caching across
 # processes turns minutes of warm-up into milliseconds.  Opt out with
