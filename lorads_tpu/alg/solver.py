@@ -376,9 +376,20 @@ class LoradsSolver:
         for bk in self.pd.buckets:
             w_loc = pat.gather_w(bk, neg_l)
             W = pat.build_w(bk, w_loc)
+            # normalize the slack operator per block: |lambda| grows
+            # with rho, and an un-normalized f32 Lanczos sweep can
+            # overflow (eigenvalues rescale back exactly)
+            if bk.dense:
+                w_scale = np.maximum(np.asarray(
+                    jnp.max(jnp.abs(W), axis=(1, 2))), 1e-30)
+            else:
+                w_scale = np.maximum(np.asarray(
+                    jnp.max(jnp.abs(W), axis=1)), 1e-30)
+            Wn = W / jnp.asarray(w_scale)[:, None, None] if bk.dense \
+                else W / jnp.asarray(w_scale)[:, None]
 
-            def mv(x, bk=bk, W=W):
-                return pat.w_mul(bk, W, x[:, :, None])[:, :, 0]
+            def mv(x, bk=bk, Wn=Wn):
+                return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]
 
             v0 = jnp.asarray(
                 self._rng.standard_normal((bk.B, bk.n)), self.dtype)
@@ -387,7 +398,13 @@ class LoradsSolver:
                       < jnp.asarray([p.dim for p in
                                      self._bucket_plans(bk)])[:, None])
             v0 = v0 * row_ok
-            lams = lanczos_min_eig(mv, v0)
+            lams = lanczos_min_eig(mv, v0) * w_scale
+            if np.any(np.isnan(lams)):
+                # pessimistic fallback: a NaN sweep must not let the
+                # status claim optimality
+                self.log("warning: Lanczos returned NaN on a block; "
+                         "treating its dual slack as infeasible")
+                lams = np.where(np.isnan(lams), -1.0, lams)
             dinf += float(np.sum(np.abs(np.minimum(lams, 0.0))))
         dinf /= self.scale_obj_his
         dinf /= (self.pd.c_nrm1 + 1.0)
