@@ -33,14 +33,21 @@ from lorads_tpu.core.presolve import BucketPlan
 
 
 def batched_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
-                        num_segments: int) -> jnp.ndarray:
-    """segment_sum along axis 1 of [B, N, ...] with ids [B, N]."""
+                        num_segments: int,
+                        sorted_ids: bool = False) -> jnp.ndarray:
+    """segment_sum along axis 1 of [B, N, ...] with ids [B, N].
+
+    The block-offset trick keeps global sortedness whenever each
+    block's ids are non-decreasing, letting XLA use its sorted-scatter
+    fast path (pass sorted_ids=True then — it is a static promise).
+    """
     B = data.shape[0]
     offset = (jnp.arange(B, dtype=ids.dtype) * num_segments)[:, None]
     flat_ids = (ids + offset).reshape(-1)
     flat = data.reshape((-1,) + data.shape[2:])
     out = jax.ops.segment_sum(flat, flat_ids,
-                              num_segments=B * num_segments)
+                              num_segments=B * num_segments,
+                              indices_are_sorted=sorted_ids)
     return out.reshape((B, num_segments) + data.shape[2:])
 
 
@@ -87,12 +94,61 @@ class BucketData:
     a_val_mirror: jnp.ndarray  # [B, nnz_a] raw values, 0 on diagonal
     c_full: jnp.ndarray      # [B, n, n] dense symmetric C
 
+    # -- pre-permuted copies so every scatter is sorted --
+    # build_w: entries re-ordered by pattern slot (free: static perm)
+    a_pos_s: jnp.ndarray = None      # int32 [B, nnz_a], sorted per block
+    a_con_loc_s: jnp.ndarray = None  # int32 [B, nnz_a]
+    a_val_s: jnp.ndarray = None      # [B, nnz_a]
+    # w_mul lower pass: pattern re-ordered by row
+    row_perm: jnp.ndarray = None     # int32 [B, K]
+    pat_rows_s: jnp.ndarray = None   # int32 [B, K], sorted per block
+    pat_cols_rp: jnp.ndarray = None  # int32 [B, K] = pat_cols[row_perm]
+
+    # -- static per-block-sortedness promises (XLA sorted-scatter
+    #    fast path in batched_segment_sum) --
+    a_con_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    a_pos_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    pat_rows_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    pat_cols_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    glob_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
+
+def _rows_sorted(x: np.ndarray) -> bool:
+    return bool(np.all(np.diff(x, axis=1) >= 0)) if x.size else True
+
 
 def build_bucket_data(bp: BucketPlan, m_glob: int, dtype) -> BucketData:
     """Convert a host BucketPlan into device arrays."""
     B, n, K = bp.B, bp.n, bp.K
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+    sort_flags = dict(
+        a_con_sorted=_rows_sorted(bp.a_con_loc),
+        a_pos_sorted=_rows_sorted(bp.a_pos),
+        pat_rows_sorted=_rows_sorted(bp.pat_rows),
+        pat_cols_sorted=_rows_sorted(bp.pat_cols),
+        glob_sorted=(B == 1) and _rows_sorted(bp.glob_idx),
+    )
+    # static permutations making the remaining scatters sorted
+    pperm = np.argsort(bp.a_pos, axis=1, kind="stable")
+    rperm = np.argsort(bp.pat_rows, axis=1, kind="stable")
+    perms = dict(
+        a_pos_s=jnp.asarray(np.take_along_axis(bp.a_pos, pperm, 1),
+                            jnp.int32),
+        a_con_loc_s=jnp.asarray(
+            np.take_along_axis(bp.a_con_loc, pperm, 1), jnp.int32),
+        a_val_s=f(np.take_along_axis(bp.a_val, pperm, 1)),
+        row_perm=jnp.asarray(rperm, jnp.int32),
+        pat_rows_s=jnp.asarray(np.take_along_axis(bp.pat_rows, rperm, 1),
+                               jnp.int32),
+        pat_cols_rp=jnp.asarray(np.take_along_axis(bp.pat_cols, rperm, 1),
+                                jnp.int32),
+    )
 
     is_diag = (bp.pat_rows == bp.pat_cols)
     a_is_diag = np.take_along_axis(is_diag, bp.a_pos, axis=1)
@@ -124,6 +180,7 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype) -> BucketData:
             c_pat_inner=f(z1), pat_offdiag=f(z1), a_pos=i32(zi),
             a_lin=i32(a_lin), a_lin_t=i32(a_lin_t), a_val=f(bp.a_val),
             a_val_mirror=f(a_val_mirror), c_full=f(c_full),
+            **perms, **sort_flags,
         )
     z1 = np.zeros((B, 1))
     zi = np.zeros((B, 1), dtype=np.int32)
@@ -137,6 +194,7 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype) -> BucketData:
         pat_offdiag=f(np.where(is_diag, 0.0, 1.0)), a_pos=i32(bp.a_pos),
         a_lin=i32(zi), a_lin_t=i32(zi), a_val=f(bp.a_val),
         a_val_mirror=f(z1), c_full=f(np.zeros((B, 1, 1))),
+        **perms, **sort_flags,
     )
 
 
@@ -178,7 +236,8 @@ def constr_vals(bk: BucketData, uvt_val: jnp.ndarray) -> jnp.ndarray:
     double-count correction (lorads_sdp_data.c:524-587, 698-715).
     """
     contrib = bk.a_val_inner * _at_entries(bk, uvt_val)
-    return batched_segment_sum(contrib, bk.a_con_loc, bk.m_loc)
+    return batched_segment_sum(contrib, bk.a_con_loc, bk.m_loc,
+                               sorted_ids=bk.a_con_sorted)
 
 
 def obj_inner(bk: BucketData, uvt_val: jnp.ndarray) -> jnp.ndarray:
@@ -195,7 +254,8 @@ def scatter_constr(bk: BucketData, vals: jnp.ndarray) -> jnp.ndarray:
     (lorads_elements.c:7-37, lorads_admm.c:360-372).
     """
     flat = jax.ops.segment_sum(vals.reshape(-1), bk.glob_idx.reshape(-1),
-                               num_segments=bk.m_glob + 1)
+                               num_segments=bk.m_glob + 1,
+                               indices_are_sorted=bk.glob_sorted)
     return flat[: bk.m_glob]
 
 
@@ -220,7 +280,10 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
         val = jnp.concatenate([bk.a_val * wa, bk.a_val_mirror * wa], axis=1)
         W = batched_segment_sum(val, pos, n2).reshape(-1, bk.n, bk.n)
         return bk.c_full + W if include_obj else W
-    W = batched_segment_sum(bk.a_val * wa, bk.a_pos, bk.K)
+    # entries pre-permuted to pattern-slot order: the scatter is sorted
+    wa_s = jnp.take_along_axis(w_loc, bk.a_con_loc_s, axis=1)
+    W = batched_segment_sum(bk.a_val_s * wa_s, bk.a_pos_s, bk.K,
+                            sorted_ids=True)
     return bk.c_pat + W if include_obj else W
 
 
@@ -233,11 +296,16 @@ def w_mul(bk: BucketData, W: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
         return jnp.einsum("bnm,bmr->bnr", W, X,
                           preferred_element_type=X.dtype,
                           precision=jax.lax.Precision.HIGHEST)
-    xc = take_rows(X, bk.pat_cols)
-    lower = batched_segment_sum(W[:, :, None] * xc, bk.pat_rows, bk.n)
+    # lower pass in row-sorted order (one extra [K] gather of W buys
+    # a sorted scatter); upper pass is already column-sorted
+    W_rp = jnp.take_along_axis(W, bk.row_perm, axis=1)
+    xc_rp = take_rows(X, bk.pat_cols_rp)
+    lower = batched_segment_sum(W_rp[:, :, None] * xc_rp, bk.pat_rows_s,
+                                bk.n, sorted_ids=True)
     xr = take_rows(X, bk.pat_rows)
     upper = batched_segment_sum(
-        (W * bk.pat_offdiag)[:, :, None] * xr, bk.pat_cols, bk.n)
+        (W * bk.pat_offdiag)[:, :, None] * xr, bk.pat_cols, bk.n,
+        sorted_ids=bk.pat_cols_sorted)
     return lower + upper
 
 
