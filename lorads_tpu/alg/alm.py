@@ -318,6 +318,9 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
                 jnp.asarray(params.phase1_tol), jnp.asarray(gap_ok),
                 jnp.asarray(801, jnp.int32),
                 check_pinf_conv=not reopt)
+            # one blocking transfer for all chunk scalars (device->host
+            # round-trips are expensive on remote/tunneled backends)
+            info = jax.device_get(info)
             local_iter = int(info["local_iter"])
             stats.inner_iter += local_iter
             cur_iter_counter += local_iter
@@ -387,6 +390,7 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
         pobj, dobj, total, pinf, gap = alm_obj_dimacs(
             pd, R, dual, jnp.asarray(scale_obj))
         constr_sum = total
+        pobj, dobj, pinf, gap = jax.device_get((pobj, dobj, pinf, gap))
         stats.pobj, stats.dobj = float(pobj), float(dobj)
         stats.pinf_l1, stats.gap = float(pinf), float(gap)
         stats.pinf_inf = stats.pinf_l1 * (1 + pd.b_nrm1) / (1 + pd.b_nrm_inf)

@@ -313,14 +313,19 @@ class LoradsSolver:
                 old_pinf_mean=out["old_pinf_mean"], bad_pd=out["bad_pd"],
                 it=out["it"], pinf_l1_0=out["pinf_l1"],
                 gap_0=out["gap"], pobj0=out["pobj"], dobj0=out["dobj"])
-            stats.iter = int(out["it"])
-            stats.cg_iter = int(out["cg_iter"])
-            stats.rho = float(out["rho"])
-            stats.pobj, stats.dobj = float(out["pobj"]), float(out["dobj"])
-            stats.pinf_l1 = float(out["pinf_l1"])
-            stats.pinf_inf = float(out["pinf_inf"])
-            stats.gap = float(out["gap"])
-            code = int(out["status"])
+            scalars = jax.device_get(
+                {k: out[k] for k in ("it", "cg_iter", "rho", "pobj",
+                                     "dobj", "pinf_l1", "pinf_inf",
+                                     "gap", "status")})
+            stats.iter = int(scalars["it"])
+            stats.cg_iter = int(scalars["cg_iter"])
+            stats.rho = float(scalars["rho"])
+            stats.pobj = float(scalars["pobj"])
+            stats.dobj = float(scalars["dobj"])
+            stats.pinf_l1 = float(scalars["pinf_l1"])
+            stats.pinf_inf = float(scalars["pinf_inf"])
+            stats.gap = float(scalars["gap"])
+            code = int(scalars["status"])
             nblk = sum(bp.B for bp in self.ps.buckets)
             self.log(
                 f"ADMM Iter:{stats.iter} pObj:{stats.pobj:5.5e} "
@@ -336,7 +341,7 @@ class LoradsSolver:
                         admm_mod.BAD_PD):
                 status = "ok"
                 break
-            if int(out["it"]) >= iter_celling:
+            if stats.iter >= iter_celling:
                 status = "ok"
                 break
             if time.time() - time_solve_start >= self.params.time_sec_limit:

@@ -137,3 +137,12 @@ def test_jacobi_bucket_mode():
     res = _solve(problem, admm_jacobi=True)
     assert res.pinf_l1 <= 1e-4
     assert res.gap <= 1e-3
+
+
+def test_maxcut_f32_path():
+    """The production-TPU dtype converges on CPU too."""
+    problem = generators.maxcut(n=100, avg_degree=6, seed=21)
+    res = _solve(problem, dtype="f32")
+    assert res.status in (SolverStatus.PRIMAL_DUAL_OPTIMAL,
+                          SolverStatus.PRIMAL_OPTIMAL)
+    assert res.pinf_l1 <= 1e-5
