@@ -68,8 +68,8 @@ def lanczos_sweep(matvec: Callable, v0: jnp.ndarray, k: int):
     return alphas, betas, Vs, alive
 
 
-def lanczos_min_eig(matvec: Callable, v0: jnp.ndarray, k: int = 48,
-                    restarts: int = 3) -> np.ndarray:
+def lanczos_min_eig(matvec: Callable, v0: jnp.ndarray, k: int = 36,
+                    restarts: int = 2) -> np.ndarray:
     """Smallest eigenvalue per block.  Host-side restarts + f64 eigh
     of the tridiagonal T; device-side sweeps."""
     B, n = v0.shape
