@@ -74,3 +74,37 @@ def test_shard_bucket_axis_placement(eight_devices):
     assert len(U.cones[0].sharding.device_set) == 8
     # replicated arrays stay replicated
     assert pd.rhs.sharding.is_fully_replicated
+
+
+def test_pattern_sharded_gradient_matches(eight_devices):
+    """sp-style pattern sharding: gradient psum'd over 8 shards equals
+    the single-device gradient on a single big cone."""
+    import jax.numpy as jnp
+
+    from lorads_tpu.alg import aop
+    from lorads_tpu.parallel import pattern_sharded as psh
+
+    problem = generators.maxcut(n=200, avg_degree=6, seed=3)
+    solver = LoradsSolver(problem, LoradsParams(verbose=False))
+    plan = solver.ps.plans[0]
+    assert not plan.dense
+
+    bk_sh = psh.build_pattern_shards(plan, problem.m, 8, solver.dtype)
+    mesh = jax.sharding.Mesh(np.array(eight_devices), (psh.AXIS,))
+    step = psh.make_sharded_gradient(mesh, bk_sh, solver.pd.rhs,
+                                     solver.pd.c_nrm_inf)
+    rho = jnp.asarray(1.7, solver.dtype)
+    dual = jnp.asarray(np.random.default_rng(0).standard_normal(
+        problem.m), solver.dtype)
+    U = solver.R.cones[0][0]
+    total_s, grad_s, cert_s = step(bk_sh, U, solver.pd.rhs, dual, rho)
+
+    # unsharded oracle
+    _, total = aop.auv(solver.pd, solver.R, solver.R)
+    w = rho * (total - solver.pd.rhs) - dual
+    grad = aop.grad(solver.pd, solver.R, w)
+    np.testing.assert_allclose(np.asarray(total_s), np.asarray(total),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(grad_s),
+                               np.asarray(grad.cones[0][0]),
+                               rtol=1e-9, atol=1e-10)
