@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", choices=["f64", "f32"], default="f64")
     p.add_argument("--seed", type=int, default=925)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="save solver state at phase boundaries")
+    p.add_argument("--resume", default=None, metavar="PATH",
+                   help="restore state from a checkpoint before solving")
+    p.add_argument("--traceDir", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace")
     return p
 
 
@@ -86,10 +92,16 @@ def main(argv=None) -> int:
         end_tau_tol=args.endTauTol, end_alm_sub_tol=args.endALMSubTol,
         l2_rescaling=bool(args.l2Rescaling), reopt_level=args.reoptLevel,
         dyrank_level=args.dyrankLevel, high_acc_mode=bool(args.highAccMode),
-        dtype=args.dtype, seed=args.seed, verbose=not args.quiet)
+        dtype=args.dtype, seed=args.seed, verbose=not args.quiet,
+        checkpoint_path=args.checkpoint, trace_dir=args.traceDir)
 
     solver = LoradsSolver(problem, params)
-    res = solver.solve()
+    if args.resume:
+        meta = solver.load(args.resume)
+        print(f"resumed from {args.resume} (phase {meta['phase']})")
+    from lorads_tpu.utils.profiling import device_trace
+    with device_trace(args.traceDir):
+        res = solver.solve()
 
     print(f"final ranks: {res.ranks}")
     print("-" * 71)
