@@ -291,7 +291,9 @@ class LoradsSolver:
             pinf_l1_0=jnp.asarray(stats.pinf_l1, dt),
             gap_0=jnp.asarray(stats.gap, dt),
             pobj0=jnp.asarray(stats.pobj, dt),
-            dobj0=jnp.asarray(stats.dobj, dt))
+            dobj0=jnp.asarray(stats.dobj, dt),
+            best_gap=jnp.asarray(stats.gap, dt),
+            since_best=jnp.zeros((), jnp.int32))
         scale = jnp.asarray(self.scale_obj_his, dt)
         status = "ok"
         while True:
@@ -304,7 +306,8 @@ class LoradsSolver:
                            carry["pobj0"], carry["dobj0"], scale,
                            jnp.asarray(iter_celling, jnp.int32),
                            jnp.asarray(self.params.device_chunk_iters,
-                                       jnp.int32))
+                                       jnp.int32),
+                           carry["best_gap"], carry["since_best"])
             carry = dict(
                 U=out["U"], V=out["V"], locals_=out["locals"],
                 lp_contrib=out["lp_contrib"], constr_sum=out["constr_sum"],
@@ -312,7 +315,8 @@ class LoradsSolver:
                 cur_rho_max=out["cur_rho_max"], pinf_buf=out["pinf_buf"],
                 old_pinf_mean=out["old_pinf_mean"], bad_pd=out["bad_pd"],
                 it=out["it"], pinf_l1_0=out["pinf_l1"],
-                gap_0=out["gap"], pobj0=out["pobj"], dobj0=out["dobj"])
+                gap_0=out["gap"], pobj0=out["pobj"], dobj0=out["dobj"],
+                best_gap=out["best_gap"], since_best=out["since_best"])
             scalars = jax.device_get(
                 {k: out[k] for k in ("it", "cg_iter", "rho", "pobj",
                                      "dobj", "pinf_l1", "pinf_inf",
@@ -338,7 +342,10 @@ class LoradsSolver:
                 status = "num_err"
                 break
             if code in (admm_mod.CONVERGED, admm_mod.EARLY_STOP,
-                        admm_mod.BAD_PD):
+                        admm_mod.BAD_PD, admm_mod.STALLED):
+                if code == admm_mod.STALLED:
+                    self.log("ADMM gap plateau at the f32 dual-noise "
+                             "floor; handing off to reopt")
                 status = "ok"
                 break
             if stats.iter >= iter_celling:
