@@ -295,7 +295,21 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
                 max_sub_iter_ceil)
 
         local_iter = 0
+        best_cert_pass = float("inf")
+        cert_no_improve = 0
         while difficulty != EASY:
+            # f32 floor guard (no reference counterpart, which is f64):
+            # the EMA treats a stagnant certificate as "keep iterating",
+            # which livelocks when the gradient norm sits at the float32
+            # noise floor.  If whole passes stop improving the
+            # certificate, more L-BFGS steps at this rho are useless.
+            if cert_val < best_cert_pass * 0.99:
+                best_cert_pass = cert_val
+                cert_no_improve = 0
+            else:
+                cert_no_improve += 1
+                if cert_no_improve >= 3:
+                    break
             if_continue = ema.update(cert_val)
             if not if_continue and not params.high_acc_mode:
                 break
