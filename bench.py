@@ -15,7 +15,6 @@ instance of this size class (README.md:109 scale anchor).
 
 import json
 import os
-import sys
 import time
 
 # Reference C LoRADS wall-clock measured on this machine (BASELINE.md,

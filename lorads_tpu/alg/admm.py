@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import time
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 from lorads_tpu.alg import aop
 from lorads_tpu.alg.aop import ProblemData
 from lorads_tpu.alg.linesearch import alm_line_search
-from lorads_tpu.alg.state import (FactorVec, LBFGSHistory, fv_dot,
-                                  fv_norm2sq, history_push, history_reset,
+from lorads_tpu.alg.state import (FactorVec, LBFGSHistory, fv_norm2sq,
+                                  history_push, history_reset,
                                   lbfgs_direction)
 
 EASY, MEDIUM, HARD, SUPER = 0, 1, 2, 3

@@ -23,7 +23,6 @@ scatter) which XLA lowers to a single sorted scatter per call.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

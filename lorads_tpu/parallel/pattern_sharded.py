@@ -20,9 +20,7 @@ kernels unchanged.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
