@@ -31,10 +31,10 @@ def main():
     from lorads_tpu.alg.solver import LoradsSolver
 
     problem = generators.maxcut(n=n, avg_degree=deg, seed=7)
-    # f32: TPUs execute f64 as slow software emulation and the
-    # residual-based certificates hold at f32 (see README Precision)
+    # auto: f32 on TPU with f64 escalation if the noise floor blocks
+    # the tolerance (maxcut converges fully at f32)
     params = LoradsParams(verbose=False, time_sec_limit=600.0,
-                          reopt_level=2, dtype="f32")
+                          reopt_level=2, dtype="auto")
     solver = LoradsSolver(problem, params)
 
     # warm the jit caches on the tiny shapes first is not possible

@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dyrankLevel", type=int, default=2)
     p.add_argument("--highAccMode", type=int, default=0)
     # TPU-native extensions
-    p.add_argument("--dtype", choices=["f64", "f32"], default="f64")
+    p.add_argument("--dtype", choices=["auto", "f64", "f32"],
+                   default="auto")
     p.add_argument("--seed", type=int, default=925)
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--checkpoint", default=None, metavar="PATH",

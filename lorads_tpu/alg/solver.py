@@ -64,8 +64,13 @@ class LoradsSolver:
         self.problem = problem
         self.ps: Presolved = presolve(problem, self.params,
                                       group=group_buckets)
-        self.dtype = jnp.float64 if self.params.dtype == "f64" \
-            else jnp.float32
+        req = self.params.dtype
+        if req == "auto":
+            # f64 is native-fast on CPU; on accelerators start f32 and
+            # escalate on demand (see maybe_escalate_f64)
+            req = "f64" if jax.default_backend() == "cpu" else "f32"
+        self._auto_dtype = self.params.dtype == "auto"
+        self.dtype = jnp.float64 if req == "f64" else jnp.float32
         self.pd = aop.build_problem_data(self.ps, self.dtype)
         self.m = problem.m
         self.scale_obj_his = 1.0
@@ -361,6 +366,33 @@ class LoradsSolver:
         return status
 
     # ------------------------------------------------------------------
+    # Mixed-precision escalation (no reference counterpart).
+    # ------------------------------------------------------------------
+
+    def maybe_escalate_f64(self, reason: str) -> bool:
+        """Switch the solve to float64 when float32's residual noise
+        floor blocks the target tolerance (dtype="auto" only).
+
+        The f32 noise floor appears as a gap plateau at ~rho * eps_f32
+        with pinf already far below tolerance; f64 emulation on TPU is
+        slower per op but converges in few iterations at that point.
+        """
+        if not self._auto_dtype or self.dtype == jnp.float64:
+            return False
+        self.log(f"escalating to float64 ({reason})")
+        self.dtype = jnp.float64
+        self.pd = aop.build_problem_data(self.ps, self.dtype)
+        if self.scale_obj_his != 1.0:
+            self.pd = aop.scale_objective(self.pd, self.scale_obj_his)
+        up = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.float64)
+            if hasattr(x, "astype") and x.dtype == jnp.float32 else x, t)
+        self.R, self.U, self.V = up(self.R), up(self.U), up(self.V)
+        self.dual = self.dual.astype(jnp.float64)
+        self.hist = make_history(self.R, self.params.lbfgs_list_length)
+        return True
+
+    # ------------------------------------------------------------------
     # Checkpoint / resume (no reference counterpart; SURVEY.md §5).
     # ------------------------------------------------------------------
 
@@ -500,6 +532,7 @@ class LoradsSolver:
                     or alm_stats.pinf_l1 > p.phase2_tol)
                    and (admm_stats.gap > p.phase2_tol
                         or admm_stats.pinf_l1 > p.phase2_tol)):
+                self.maybe_escalate_f64("reopt needed at f32")
                 if cnt >= 1:
                     break
                 self.log("****** reopt parameter: 5.0")
@@ -533,6 +566,7 @@ class LoradsSolver:
                         and admm_stats.gap <= 5 * p.phase2_tol
                         and admm_stats.pinf_l1 <= p.phase2_tol):
                     break
+                self.maybe_escalate_f64("dual reopt needed at f32")
                 self.log("****** reopt parameter: 5.0")
                 admm_bad_iter_flag = self.reopt(
                     alm_stats, admm_stats, 5.0, 3, 50, t_start,

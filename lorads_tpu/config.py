@@ -62,7 +62,11 @@ class LoradsParams:
     high_acc_mode: bool = False
 
     # --- TPU-native extensions (no reference counterpart) ---
-    dtype: str = "f64"               # "f32" or "f64"; f64 is emulated on TPU
+    dtype: str = "auto"              # "f32" | "f64" | "auto":
+                                     # auto = f64 on CPU; on TPU start
+                                     # f32 and escalate to (emulated)
+                                     # f64 when the f32 noise floor
+                                     # blocks the target tolerance
     seed: int = 925                  # reference srand(925) (lorads_solver.c:415)
     device_chunk_iters: int = 50     # ADMM iterations per device round-trip
     verbose: bool = True
