@@ -286,7 +286,7 @@ def make_admm_chunk(params, reopt: bool):
             best_gap_n = jnp.minimum(gap, c["best_gap"])
             since_n = jnp.where(improved, 0,
                                 c["since_best"] + 1).astype(jnp.int32)
-            stalled = (since_n >= 150) & (pinf <= tol2 * 0.1)
+            stalled = (since_n >= 50) & (pinf <= tol2 * 0.1)
             status = jnp.where((status == RUNNING) & stalled,
                                i32(STALLED), status)
 

@@ -243,6 +243,15 @@ class LoradsSolver:
         for attempt in range(3):
             st = self._admm_phase_once(stats, iter_celling,
                                        time_solve_start, reopt)
+            if st == "stalled":
+                # f32 dual-noise plateau: escalate and continue the
+                # same phase at f64; without auto-dtype, hand off to
+                # reopt as before
+                if self.maybe_escalate_f64("ADMM gap plateau"):
+                    st = self._admm_phase_once(stats, iter_celling,
+                                               time_solve_start, reopt)
+                    return "ok" if st == "stalled" else st
+                return "ok"
             if st != "num_err":
                 return st
             # restore the entry point — never keep diverged iterates
@@ -346,11 +355,12 @@ class LoradsSolver:
             if code == admm_mod.NUM_ERR:
                 status = "num_err"
                 break
+            if code == admm_mod.STALLED:
+                self.log("ADMM gap plateau at the f32 dual-noise floor")
+                status = "stalled"
+                break
             if code in (admm_mod.CONVERGED, admm_mod.EARLY_STOP,
-                        admm_mod.BAD_PD, admm_mod.STALLED):
-                if code == admm_mod.STALLED:
-                    self.log("ADMM gap plateau at the f32 dual-noise "
-                             "floor; handing off to reopt")
+                        admm_mod.BAD_PD):
                 status = "ok"
                 break
             if stats.iter >= iter_celling:
