@@ -146,3 +146,52 @@ def test_maxcut_f32_path():
     assert res.status in (SolverStatus.PRIMAL_DUAL_OPTIMAL,
                           SolverStatus.PRIMAL_OPTIMAL)
     assert res.pinf_l1 <= 1e-5
+
+
+def test_rank_augmentation_bookkeeping():
+    """aug_rank grows factor buffers with scaled-identity columns and
+    the solve still converges afterwards (AUG_RANK,
+    lorads_solver.c:806-906)."""
+    problem = generators.maxcut(n=60, avg_degree=5, seed=3)
+    params = LoradsParams(verbose=False)
+    s = LoradsSolver(problem, params)
+    r0 = s.ranks[0]
+    rm = s.rank_maxes[0]
+    assert not s.is_rank_max()
+    s.aug_rank(1.5)
+    assert s.ranks[0] == min(int(np.ceil(r0 * 1.5)), rm)
+    B, n, r = s.R.cones[0].shape
+    assert r == s.ranks[0]
+    # new columns are the scaled identity (lpRandomDiag semantics)
+    newcols = np.asarray(s.R.cones[0][0][:, r0:])
+    aug = r - r0
+    expect = np.eye(n, aug) / np.sqrt(min(n, aug))
+    np.testing.assert_allclose(newcols, expect)
+    res = s.solve()
+    assert res.pinf_l1 <= 1e-5
+
+
+def test_dyrank_level_thresholds():
+    """rank_flag_thres keyed on dyrankLevel (lorads_alm.c:1022-1031)."""
+    for lvl, thres in [(0, 1e8), (1, 150.0), (2, 15.0), (3, 5.0)]:
+        assert LoradsParams(dyrank_level=lvl).rank_flag_thres == thres
+
+
+def test_single_constraint_problem():
+    """Degenerate bounded m=1 instance (min tr X s.t. X_00 = 1)
+    solves without shape bugs; optimum is X = e1 e1^T, pObj = 1."""
+    from lorads_tpu.core.problem import SDPBlockData, SDPProblem
+    n = 6
+    blk = SDPBlockData(
+        dim=n, m=1,
+        obj_row=np.arange(n, dtype=np.int32),
+        obj_col=np.arange(n, dtype=np.int32),
+        obj_val=np.ones(n),
+        a_con=np.zeros(1, np.int32),
+        a_row=np.zeros(1, np.int32),
+        a_col=np.zeros(1, np.int32),
+        a_val=np.ones(1))
+    problem = SDPProblem(m=1, rhs=np.ones(1), blocks=[blk])
+    res = _solve(problem)
+    assert res.pinf_l1 <= 1e-5
+    assert res.pobj == pytest.approx(1.0, abs=1e-3)
