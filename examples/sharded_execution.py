@@ -1,0 +1,66 @@
+"""Multi-device execution of the solver building blocks.
+
+Demonstrates both sharding modes on a virtual 8-device CPU mesh:
+  * dp — cone blocks spread over devices (multi-block problems)
+  * sp — one big cone with its union pattern spread over devices
+
+Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+      python examples/sharded_execution.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault(
+    "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lorads_tpu import LoradsParams
+from lorads_tpu.alg.solver import LoradsSolver
+from lorads_tpu.io import generators
+
+
+def dp_blocks(n_devices):
+    """8 same-shape cone blocks, one per device."""
+    from lorads_tpu.parallel.sharded import make_mesh, sharded_solver_step
+
+    problem = generators.random_multiblock(n_blocks=n_devices, dim=16,
+                                           m=12, seed=0)
+    solver = LoradsSolver(problem, LoradsParams(verbose=False))
+    mesh = make_mesh(n_devices)
+    U1, V1, total, grad = sharded_solver_step(
+        mesh, solver.pd, solver.U, solver.V, solver.dual, 1.0)
+    print(f"dp: {n_devices} blocks over {n_devices} devices; "
+          f"constraint sum |r| = "
+          f"{float(jnp.linalg.norm(solver.pd.rhs - total)):.3e}")
+
+
+def sp_pattern(n_devices):
+    """One Max-Cut cone with the union pattern sharded."""
+    from lorads_tpu.parallel import pattern_sharded as psh
+
+    problem = generators.maxcut(n=256, avg_degree=6, seed=0)
+    solver = LoradsSolver(problem, LoradsParams(verbose=False))
+    bk = psh.build_pattern_shards(solver.ps.plans[0], problem.m,
+                                  n_devices, solver.dtype)
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:n_devices]), (psh.AXIS,))
+    step = psh.make_sharded_gradient(mesh, bk, solver.pd.rhs,
+                                     solver.pd.c_nrm_inf)
+    total, grad, cert = step(bk, solver.R.cones[0][0], solver.pd.rhs,
+                             solver.dual,
+                             jnp.asarray(1.0, solver.dtype))
+    print(f"sp: pattern of K={solver.ps.plans[0].K} over "
+          f"{n_devices} devices; grad cert = {float(cert):.3e}")
+
+
+if __name__ == "__main__":
+    n = min(8, len(jax.devices()))
+    dp_blocks(n)
+    sp_pattern(n)
