@@ -499,8 +499,11 @@ class LoradsSolver:
             * admm_stats.rho, self.rho_max)
         self.alm_to_admm(alm_stats, admm_stats)
         if admm_bad_iter_flag == 0 or reopt_level < 2:
+            # reference: min(iter*4, iter + ORIGINAL maxADMMIter)
+            # (lorads_solver.c:1098) — reopt_admm_iter only caps the
+            # while-condition, which the celling dominates
             celling = min(admm_stats.iter * 4,
-                          admm_stats.iter + reopt_admm_iter)
+                          admm_stats.iter + p.max_admm_iter)
             st = self.admm_phase(admm_stats, celling, time_solve_start,
                                  reopt=True)
             admm_bad_iter_flag = 1 if st == "bad_iter" else 0
@@ -546,8 +549,9 @@ class LoradsSolver:
                 if cnt >= 1:
                     break
                 self.log("****** reopt parameter: 5.0")
+                admm_budget = 1000 if p.high_acc_mode else 50
                 admm_bad_iter_flag = self.reopt(
-                    alm_stats, admm_stats, 5.0, 3, 50, t_start,
+                    alm_stats, admm_stats, 5.0, 3, admm_budget, t_start,
                     admm_bad_iter_flag, 1)
                 cnt += 1
                 if time.time() - t_start > p.time_sec_limit:
