@@ -76,7 +76,8 @@ def main():
                      jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                      pinf, gap, pobj, dobj, jnp.asarray(1.0, dtt),
                      jnp.asarray(10**9, jnp.int32),
-                     jnp.asarray(5, jnp.int32))["constr_sum"]
+                     jnp.asarray(5, jnp.int32),
+                     gap, jnp.zeros((), jnp.int32))["constr_sum"]
 
     dt = timeit("ADMM chunk (5 it)", admm5, reps=3)
     print(f"{'per ADMM iteration':>28}: {dt / 5 * 1e3:9.3f} ms")
