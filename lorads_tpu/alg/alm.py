@@ -76,9 +76,8 @@ def alm_dual_and_grad(pd: ProblemData, R: FactorVec, dual, constr_sum, rho):
     return dual_n, g, cert
 
 
-@jax.jit
-def alm_update_rho(pd: ProblemData, R: FactorVec, dual, constr_sum, rho,
-                   factor, grad0: FactorVec):
+def alm_update_rho_body(pd: ProblemData, R: FactorVec, dual, constr_sum,
+                        rho, factor, grad0: FactorVec):
     """do { rho *= factor; recompute grad } while (0.1/rho >= cert)
     (UpdateRho, lorads_alm.c:1174-1180)."""
 
@@ -92,7 +91,14 @@ def alm_update_rho(pd: ProblemData, R: FactorVec, dual, constr_sum, rho,
 
     c = body((rho, grad0, jnp.zeros_like(rho)))
     c = jax.lax.while_loop(lambda c: 0.1 / c[0] >= c[2], body, c)
-    return c
+    return c[0], c[1], c[2]
+
+
+@jax.jit
+def alm_update_rho(pd: ProblemData, R: FactorVec, dual, constr_sum, rho,
+                   factor, grad0: FactorVec):
+    return alm_update_rho_body(pd, R, dual, constr_sum, rho, factor,
+                               grad0)
 
 
 @jax.jit
@@ -107,8 +113,7 @@ def alm_obj_dimacs(pd: ProblemData, R: FactorVec, dual, scale):
     return pobj, dobj, total, pinf, gap
 
 
-@partial(jax.jit, static_argnames=("check_pinf_conv", "refresh_every"))
-def inner_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
+def _inner_loop(pd: ProblemData, R: FactorVec, grad: FactorVec,
                 hist: LBFGSHistory, dual, constr_sum, cert_val, rho,
                 cert_tol, end_sub_tol, end_tau_tol, phase1_tol, gap_ok,
                 max_local, check_pinf_conv: bool = True,
@@ -183,6 +188,187 @@ def inner_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
     return (R, grad, hist, constr_sum,
             dict(cert_val=cert_val, pinf_l1=pinf_l1, local_iter=it,
                  tau=tau, num_err=num_err, tau_small=tau_small))
+
+
+inner_chunk = partial(jax.jit, static_argnames=(
+    "check_pinf_conv", "refresh_every"))(_inner_loop)
+
+
+# Exit codes of the device middle loop (one ALM outer iteration's
+# L-BFGS passes; mirrors the host control flow of LORADS_ALMOptimize,
+# lorads_alm.c:1040-1171).
+M_RUNNING, M_EASY, M_CERT_TOL, M_EMA_STOP, M_BUDGET, M_RANK, \
+    M_NUM_ERR, M_TAU_SMALL, M_PINF_CONV, M_NO_IMPROVE = range(10)
+
+
+@partial(jax.jit, static_argnames=("check_pinf_conv", "high_acc_mode"))
+def middle_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
+                 hist: LBFGSHistory, dual, constr_sum, cert_val, rho,
+                 cert_tol, end_sub_tol, end_tau_tol, phase1_tol, gap_ok,
+                 max_sub_iter, rank_flag, rank_flag_thres,
+                 rank_trigger_armed, rho_update_factor, pinf_l1_init,
+                 check_pinf_conv: bool = True,
+                 high_acc_mode: bool = False):
+    """One ALM outer iteration fully on device: the middle loop of
+    L-BFGS passes (difficulty grading, EMA stagnation, certificate and
+    budget checks, dual ascent per pass) followed — unless the phase
+    exits — by the rho escalation do-while (UpdateRho).
+
+    Replaces ~4-12 host round-trips per outer iteration with one; the
+    adaptive decisions the reference takes in C host code
+    (lorads_alm.c:1040-1190) become scalar device arithmetic.  Rank
+    augmentation, logging and reopt control stay on host.
+
+    ``rank_trigger_armed`` = (rank_flag can fire: not at rank cap and
+    k - last_outer_start >= 3), computed by the host.
+    """
+    dt = pd.rhs.dtype
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+
+    def cond(c):
+        return (c["difficulty"] != EASY) & (c["exit"] == M_RUNNING)
+
+    def body(c):
+        # --- pre-pass checks, in host order ---
+        improved = c["cert_val"] < c["best_cert"] * 0.99
+        best_cert = jnp.where(improved, c["cert_val"], c["best_cert"])
+        no_improve = jnp.where(improved, 0, c["no_improve"] + 1)
+
+        # EMA stagnation detector (LUtilUpdateCheckEma,
+        # lorads_utils.c:404-434), alpha=0.1 thres=0.005 interval=5
+        ema_cur = 0.1 * c["cert_val"] + 0.9 * c["ema_cur"]
+        at_interval = c["ema_n"] >= 5
+        change = (ema_cur - c["ema_old"]) / jnp.where(
+            c["ema_old"] == 0.0, 1.0, c["ema_old"])
+        ema_go = jnp.where(at_interval & (c["ema_old"] != 0.0),
+                           (change >= -0.005) & (change <= 0.005),
+                           True)
+        ema_old = jnp.where(at_interval, ema_cur, c["ema_old"])
+        ema_n = jnp.where(at_interval, 1, c["ema_n"] + 1)
+
+        exit_ = i32(M_RUNNING)
+        exit_ = jnp.where(no_improve >= 3, i32(M_NO_IMPROVE), exit_)
+        if not high_acc_mode:
+            exit_ = jnp.where((exit_ == M_RUNNING) & (~ema_go),
+                              i32(M_EMA_STOP), exit_)
+        exit_ = jnp.where((exit_ == M_RUNNING)
+                          & (c["iter_counter"] >= max_sub_iter),
+                          i32(M_BUDGET), exit_)
+        exit_ = jnp.where((exit_ == M_RUNNING) & rank_trigger_armed
+                          & (c["rank_flag"] >= rank_flag_thres),
+                          i32(M_RANK), exit_)
+        exit_ = jnp.where((exit_ == M_RUNNING)
+                          & (c["cert_val"] <= cert_tol),
+                          i32(M_CERT_TOL), exit_)
+
+        def run_pass(c):
+            (R1, g1, h1, cs1, info) = _inner_loop(
+                pd, c["R"], c["grad"], c["hist"], c["dual"],
+                c["constr_sum"], c["cert_val"], rho, cert_tol,
+                end_sub_tol, end_tau_tol, phase1_tol, gap_ok,
+                i32(801), check_pinf_conv=check_pinf_conv)
+            local = info["local_iter"]
+            exit2 = i32(M_RUNNING)
+            exit2 = jnp.where(info["num_err"], i32(M_NUM_ERR), exit2)
+            exit2 = jnp.where((exit2 == M_RUNNING) & info["tau_small"],
+                              i32(M_TAU_SMALL), exit2)
+            pinf_inf = info["pinf_l1"] * (1.0 + pd.b_nrm1) / (
+                1.0 + pd.b_nrm_inf)
+            if check_pinf_conv:
+                conv = (pinf_inf <= phase1_tol) & gap_ok
+                exit2 = jnp.where((exit2 == M_RUNNING) & conv,
+                                  i32(M_PINF_CONV), exit2)
+
+            # dual ascent + fresh gradient (lorads_alm.c:1151-1153);
+            # skipped when the phase exits here (num_err / converged),
+            # matching the host flow
+            def dual_step(_):
+                dual_n = c["dual"] + rho * (pd.rhs - cs1)
+                w = rho * (cs1 - pd.rhs) - dual_n
+                g = aop.grad(pd, R1, w)
+                cert = jnp.sqrt(fv_norm2sq(g)) / (1.0 + pd.c_nrm_inf)
+                return dual_n, g, cert
+
+            # host flow: num_err/tau_small/converged all break before
+            # the dual ascent (lorads_alm.c:1098-1151)
+            do_dual = exit2 == M_RUNNING
+            dual_n, g2, cert2 = jax.lax.cond(
+                do_dual, dual_step,
+                lambda _: (c["dual"], g1, info["cert_val"]), None)
+
+            # difficulty grading (lorads_alm.c:1154-1171)
+            difficulty = jnp.where(
+                local <= 20, i32(EASY),
+                jnp.where(local <= 100, i32(MEDIUM),
+                          jnp.where(local < 400, i32(HARD), i32(SUPER))))
+            if not check_pinf_conv:  # reopt grades SUPER as HARD
+                difficulty = jnp.minimum(difficulty, i32(HARD))
+            rank_inc = jnp.where(
+                local <= 20, 0,
+                jnp.where(local <= 100, 2,
+                          jnp.where(difficulty == HARD, 3, 4)))
+            # EASY resets the flag (lorads_alm.c:1156); grading only
+            # happens when the pass completes normally (num_err /
+            # tau_small / converged break first)
+            rank_flag_n = jnp.where(
+                exit2 != M_RUNNING, c["rank_flag"],
+                jnp.where(local <= 20, 0, c["rank_flag"] + rank_inc))
+            return dict(
+                c, R=R1, grad=g2, hist=h1, constr_sum=cs1, dual=dual_n,
+                cert_val=cert2, pinf_l1=info["pinf_l1"],
+                tau=info["tau"], best_cert=best_cert,
+                no_improve=no_improve, ema_cur=ema_cur, ema_old=ema_old,
+                ema_n=ema_n, iter_counter=c["iter_counter"] + local,
+                total_inner=c["total_inner"] + local,
+                rank_flag=rank_flag_n,
+                difficulty=difficulty, exit=exit2)
+
+        def no_pass(c):
+            return dict(c, best_cert=best_cert, no_improve=no_improve,
+                        ema_cur=ema_cur, ema_old=ema_old, ema_n=ema_n,
+                        exit=exit_)
+
+        return jax.lax.cond(exit_ == M_RUNNING, run_pass, no_pass, c)
+
+    carry = dict(
+        R=R, grad=grad, hist=hist, dual=dual, constr_sum=constr_sum,
+        cert_val=jnp.asarray(cert_val, dt),
+        pinf_l1=jnp.asarray(pinf_l1_init, dt), tau=jnp.zeros((), dt),
+        best_cert=jnp.asarray(jnp.inf, dt),
+        no_improve=jnp.zeros((), jnp.int32),
+        ema_cur=jnp.zeros((), dt), ema_old=jnp.zeros((), dt),
+        ema_n=jnp.ones((), jnp.int32),
+        iter_counter=jnp.ones((), jnp.int32),
+        total_inner=jnp.zeros((), jnp.int32),
+        rank_flag=jnp.asarray(rank_flag, jnp.int32),
+        difficulty=jnp.asarray(HARD, jnp.int32),
+        exit=jnp.zeros((), jnp.int32))
+    carry = jax.lax.while_loop(cond, body, carry)
+
+    # UpdateRho do-while (lorads_alm.c:1174-1180) + history reset —
+    # skipped when the phase exits (num_err / pinf converged)
+    phase_exit = (carry["exit"] == M_NUM_ERR) | (
+        carry["exit"] == M_PINF_CONV)
+
+    def do_rho(c):
+        rho_n, g, cert = alm_update_rho_body(
+            pd, c["R"], c["dual"], c["constr_sum"], rho,
+            rho_update_factor, c["grad"])
+        return dict(c, grad=g, cert_val=cert), rho_n
+
+    def no_rho(c):
+        return c, rho
+
+    carry, rho_out = jax.lax.cond(phase_exit, no_rho, do_rho, carry)
+    hist_out = jax.lax.cond(
+        phase_exit, lambda h: h, history_reset, carry["hist"])
+    return (carry["R"], carry["grad"], hist_out, carry["dual"],
+            carry["constr_sum"], rho_out,
+            dict(cert_val=carry["cert_val"], pinf_l1=carry["pinf_l1"],
+                 tau=carry["tau"], total_inner=carry["total_inner"],
+                 rank_flag=carry["rank_flag"],
+                 iter_counter=carry["iter_counter"],
+                 exit=carry["exit"]))
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +446,6 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
     constr_sum, grad, cert_val = alm_recompute(pd, R, dual, stats.rho)
     cert_val = float(cert_val)
     cert_tol = 0.1 / stats.rho
-    difficulty = HARD
 
     def finalize(action: str) -> ALMResult:
         pobj, dobj, total, pinf, gap = alm_obj_dimacs(pd, R, dual, scale_obj)
@@ -286,7 +471,6 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
         else:
             if k > max_alm_iter:
                 break
-        ema = EmaDetector()
         cur_iter_counter = 1
         if update_max_sub_counter >= 2:
             update_max_sub_counter = 0
@@ -294,92 +478,52 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
                 solver_ctx.max_alm_sub_iter + max_sub_iter_inc,
                 max_sub_iter_ceil)
 
-        local_iter = 0
-        best_cert_pass = float("inf")
-        cert_no_improve = 0
-        while difficulty != EASY:
-            # f32 floor guard (no reference counterpart, which is f64):
-            # the EMA treats a stagnant certificate as "keep iterating",
-            # which livelocks when the gradient norm sits at the float32
-            # noise floor.  If whole passes stop improving the
-            # certificate, more L-BFGS steps at this rho are useless.
-            if cert_val < best_cert_pass * 0.99:
-                best_cert_pass = cert_val
-                cert_no_improve = 0
-            else:
-                cert_no_improve += 1
-                if cert_no_improve >= 3:
-                    break
-            if_continue = ema.update(cert_val)
-            if not if_continue and not params.high_acc_mode:
-                break
-            if cur_iter_counter >= solver_ctx.max_alm_sub_iter:
-                update_max_sub_counter += 1
-                break
-            if (rank_flag >= rank_flag_thres and not is_rank_max
-                    and k - last_outer_start >= 3):
-                break
-            if cert_val <= cert_tol:
-                break
+        # --- one device dispatch for the whole middle loop + UpdateRho
+        # (the reference's per-pass host logic, lorads_alm.c:1040-1190,
+        # runs as scalar device arithmetic; see middle_chunk) ---
+        gap_ok = (not params.high_acc_mode) or (
+            stats.gap <= params.phase1_tol)
+        armed = (not is_rank_max) and (k - last_outer_start >= 3)
+        dt = pd.rhs.dtype
+        (R, grad, hist, dual, constr_sum, rho_n, info) = middle_chunk(
+            pd, R, grad, hist, dual, constr_sum,
+            jnp.asarray(cert_val, dt), jnp.asarray(stats.rho, dt),
+            jnp.asarray(cert_tol, dt),
+            jnp.asarray(params.end_alm_sub_tol, dt),
+            jnp.asarray(params.end_tau_tol, dt),
+            jnp.asarray(params.phase1_tol, dt), jnp.asarray(gap_ok),
+            jnp.asarray(solver_ctx.max_alm_sub_iter, jnp.int32),
+            jnp.asarray(rank_flag, jnp.int32),
+            jnp.asarray(rank_flag_thres, jnp.int32),
+            jnp.asarray(armed),
+            jnp.asarray(rho_update_factor, dt),
+            jnp.asarray(stats.pinf_l1 if stats.pinf_l1 < 1e29 else 1e30,
+                        dt),
+            check_pinf_conv=not reopt,
+            high_acc_mode=params.high_acc_mode)
+        # one blocking transfer for all middle-loop scalars (host
+        # round-trips are expensive on remote/tunneled backends)
+        info = jax.device_get(info)
+        stats.inner_iter += int(info["total_inner"])
+        cur_iter_counter += int(info["iter_counter"]) - 1
+        rank_flag = int(info["rank_flag"])
+        cert_val = float(info["cert_val"])
+        stats.pinf_l1 = float(info["pinf_l1"])
+        stats.pinf_inf = stats.pinf_l1 * (1 + pd.b_nrm1) / (1 + pd.b_nrm_inf)
+        stats.tau = float(info["tau"])
+        exit_code = int(info["exit"])
 
-            gap_ok = (not params.high_acc_mode) or (
-                stats.gap <= params.phase1_tol)
-            (R, grad, hist, constr_sum, info) = inner_chunk(
-                pd, R, grad, hist, dual, constr_sum,
-                jnp.asarray(cert_val, pd.rhs.dtype), jnp.asarray(stats.rho),
-                jnp.asarray(cert_tol), jnp.asarray(params.end_alm_sub_tol),
-                jnp.asarray(params.end_tau_tol),
-                jnp.asarray(params.phase1_tol), jnp.asarray(gap_ok),
-                jnp.asarray(801, jnp.int32),
-                check_pinf_conv=not reopt)
-            # one blocking transfer for all chunk scalars (device->host
-            # round-trips are expensive on remote/tunneled backends)
-            info = jax.device_get(info)
-            local_iter = int(info["local_iter"])
-            stats.inner_iter += local_iter
-            cur_iter_counter += local_iter
-            cert_val = float(info["cert_val"])
-            stats.pinf_l1 = float(info["pinf_l1"])
-            stats.pinf_inf = stats.pinf_l1 * (1 + pd.b_nrm1) / (
-                1 + pd.b_nrm_inf)
-            stats.tau = float(info["tau"])
+        if exit_code == M_NUM_ERR:
+            return finalize("num_err")
+        if exit_code == M_PINF_CONV:
+            stats.outer_iter = k
+            return finalize("done")
+        if exit_code == M_BUDGET:
+            update_max_sub_counter += 1
+        if exit_code == M_TAU_SMALL:
+            log(f"update rho since tau is too small: {stats.tau:5.3e}")
 
-            if bool(info["num_err"]):
-                return finalize("num_err")
-            if bool(info["tau_small"]):
-                log(f"update rho since tau is too small: {stats.tau:5.3e}")
-                break
-            if (not reopt) and stats.pinf_inf <= params.phase1_tol and (
-                    stats.gap <= params.phase1_tol
-                    or not params.high_acc_mode):
-                stats.outer_iter = k
-                return finalize("done")
-
-            # dual ascent + fresh gradient (lorads_alm.c:1151-1153)
-            dual, grad, cert = alm_dual_and_grad(
-                pd, R, dual, constr_sum, jnp.asarray(stats.rho))
-            cert_val = float(cert)
-
-            # difficulty grading (lorads_alm.c:1154-1171)
-            if local_iter <= 20:
-                difficulty = EASY
-                rank_flag = 0
-            elif local_iter <= 100:
-                difficulty = MEDIUM
-                rank_flag += 2
-            elif local_iter < 400 or reopt:
-                difficulty = HARD
-                rank_flag += 3
-            else:
-                difficulty = SUPER
-                rank_flag += 4
-
-        # UpdateRho (lorads_alm.c:1174-1190)
-        rho_n, grad, cert = alm_update_rho(
-            pd, R, dual, constr_sum, jnp.asarray(stats.rho),
-            jnp.asarray(rho_update_factor), grad)
         stats.rho = float(rho_n)
-        cert_val = float(cert)
         cert_tol = 0.1 / stats.rho
         if stats.rho >= 5e4 and rho_factor_flag < 4:
             rho_update_factor = rho_update_factor ** 0.25
@@ -390,8 +534,6 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
         elif stats.rho >= 5e8 and rho_factor_flag < 8:
             rho_update_factor = rho_update_factor ** 0.25
             rho_factor_flag = 8
-        difficulty = HARD
-        hist = history_reset(hist)
         k += 1
         stats.outer_iter = k
 
