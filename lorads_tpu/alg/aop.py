@@ -71,11 +71,15 @@ def scale_objective(pd: ProblemData, s: float) -> ProblemData:
     """Scale C by s in every block (reopt objScale_dualvar,
     lorads_solver.c:1040-1052).  Norm constants intentionally stay
     at their init values, matching the reference."""
-    buckets = tuple(
-        dataclasses.replace(bk, c_pat=bk.c_pat * s,
-                            c_pat_inner=bk.c_pat_inner * s,
-                            c_full=bk.c_full * s)
-        for bk in pd.buckets)
+    def scale_bucket(bk):
+        repl = dict(c_pat=bk.c_pat * s, c_pat_inner=bk.c_pat_inner * s,
+                    c_full=bk.c_full * s)
+        if bk.split:
+            repl.update(c_diag=bk.c_diag * s, c_off=bk.c_off * s,
+                        c_off2=bk.c_off2 * s)
+        return dataclasses.replace(bk, **repl)
+
+    buckets = tuple(scale_bucket(bk) for bk in pd.buckets)
     lpd = pd.lp
     if lpd is not None:
         lpd = dataclasses.replace(lpd, obj=lpd.obj * s)
@@ -140,16 +144,7 @@ def obj_and_auv_pair(pd: ProblemData, R: FactorVec, D: FactorVec):
     t1 = jnp.zeros((pd.m,), dt)
     t2 = jnp.zeros((pd.m,), dt)
     for bk, Rb, Db in zip(pd.buckets, R.cones, D.cones):
-        if bk.dense:
-            uv_rd = pat.uvt(bk, Rb, Db)
-            uv_dd = pat.uvt(bk, Db, Db)
-        else:
-            Rr = pat.take_rows(Rb, bk.pat_rows)
-            Rc = pat.take_rows(Rb, bk.pat_cols)
-            Dr = pat.take_rows(Db, bk.pat_rows)
-            Dc = pat.take_rows(Db, bk.pat_cols)
-            uv_rd = 0.5 * (jnp.sum(Rr * Dc, -1) + jnp.sum(Rc * Dr, -1))
-            uv_dd = jnp.sum(Dr * Dc, -1)
+        uv_rd, uv_dd = pat.uvt_pair(bk, Rb, Db)
         p1 = p1 + jnp.sum(pat.obj_inner(bk, uv_rd))
         p2 = p2 + jnp.sum(pat.obj_inner(bk, uv_dd))
         t1 = t1 + pat.scatter_constr(bk, pat.constr_vals(bk, uv_rd))

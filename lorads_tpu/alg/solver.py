@@ -436,11 +436,18 @@ class LoradsSolver:
             if bk.dense:
                 w_scale = np.maximum(np.asarray(
                     jnp.max(jnp.abs(W), axis=(1, 2))), 1e-30)
+                Wn = W / jnp.asarray(w_scale)[:, None, None]
+            elif bk.split:
+                W_d, W_o = W
+                w_scale = np.maximum(np.asarray(jnp.maximum(
+                    jnp.max(jnp.abs(W_d), axis=1),
+                    jnp.max(jnp.abs(W_o), axis=1))), 1e-30)
+                s = jnp.asarray(w_scale)[:, None]
+                Wn = (W_d / s, W_o / s)
             else:
                 w_scale = np.maximum(np.asarray(
                     jnp.max(jnp.abs(W), axis=1)), 1e-30)
-            Wn = W / jnp.asarray(w_scale)[:, None, None] if bk.dense \
-                else W / jnp.asarray(w_scale)[:, None]
+                Wn = W / jnp.asarray(w_scale)[:, None]
 
             def mv(x, bk=bk, Wn=Wn):
                 return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]

@@ -116,12 +116,169 @@ class BucketData:
     glob_sorted: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
 
+    # ------------------------------------------------------------------
+    # Diag/offdiag split (sparse mode only, split=True).
+    #
+    # The diagonal of sym(UV^T) is rowsum(U*V) — a dense VPU op — so
+    # splitting the union pattern into its diagonal (dense [B, n]
+    # vectors) and strictly-lower entries removes every gather/scatter
+    # the diagonal used to cost.  For diagonal-constrained families
+    # (Max-Cut: A_i = e_i e_i^T) the whole constraint path becomes
+    # dense elementwise work (diag_ident), eliminating A(UV^T) and
+    # A^*(w) gathers entirely.  Reference semantics unchanged
+    # (lorads_alg_common.c:21-68 computes the same values).
+    # ------------------------------------------------------------------
+    split: bool = dataclasses.field(default=False,
+                                    metadata=dict(static=True))
+    diag_ident: bool = dataclasses.field(default=False,
+                                         metadata=dict(static=True))
+    has_diag_a: bool = dataclasses.field(default=False,
+                                         metadata=dict(static=True))
+    has_off_a: bool = dataclasses.field(default=False,
+                                        metadata=dict(static=True))
+    has_off: bool = dataclasses.field(default=False,
+                                      metadata=dict(static=True))
+    Ko: int = dataclasses.field(default=0, metadata=dict(static=True))
+    nnz_d: int = dataclasses.field(default=0, metadata=dict(static=True))
+    nnz_o: int = dataclasses.field(default=0, metadata=dict(static=True))
+    off_rows: jnp.ndarray = None      # int32 [B, Ko] strictly-lower rows
+    off_cols: jnp.ndarray = None      # int32 [B, Ko]
+    c_off: jnp.ndarray = None         # [B, Ko] C values at off entries
+    c_off2: jnp.ndarray = None        # [B, Ko] = 2 * c_off
+    c_diag: jnp.ndarray = None        # [B, n] dense diagonal of C
+    # diagonal constraint entries
+    a_con_d: jnp.ndarray = None       # int32 [B, nnz_d]
+    a_row_d: jnp.ndarray = None       # int32 [B, nnz_d]
+    a_val_d: jnp.ndarray = None       # [B, nnz_d]
+    # off-diagonal constraint entries (values pre-doubled for <A,X>)
+    a_con_o: jnp.ndarray = None       # int32 [B, nnz_o]
+    a_pos_o: jnp.ndarray = None       # int32 [B, nnz_o] into off arrays
+    a_val_o: jnp.ndarray = None       # [B, nnz_o] raw values
+    # pre-permuted copies for sorted scatters
+    a_pos_o_s: jnp.ndarray = None     # sorted per block
+    a_con_o_s: jnp.ndarray = None
+    a_val_o_s: jnp.ndarray = None
+    off_row_perm: jnp.ndarray = None  # int32 [B, Ko]
+    off_rows_s: jnp.ndarray = None    # rows sorted per block
+    off_cols_rp: jnp.ndarray = None   # cols re-ordered by off_row_perm
+    a_row_d_s: jnp.ndarray = None     # diag entries sorted by row
+    a_val_d_s: jnp.ndarray = None
+    a_con_d_s: jnp.ndarray = None
+    # sortedness promises for the split arrays
+    off_cols_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    a_con_d_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    a_con_o_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
 
 def _rows_sorted(x: np.ndarray) -> bool:
     return bool(np.all(np.diff(x, axis=1) >= 0)) if x.size else True
 
 
-def build_bucket_data(bp: BucketPlan, m_glob: int, dtype) -> BucketData:
+def _build_split_fields(bp: BucketPlan, dtype) -> dict:
+    """Host construction of the diag/offdiag split arrays (sparse mode).
+
+    See BucketData.split.  Also detects the diag-identity structure
+    (constraint i == diagonal entry i, the Max-Cut shape) that makes
+    the whole constraint path dense.
+    """
+    B, n = bp.B, bp.n
+    per_off, per_ad, per_ao = [], [], []
+    c_diag = np.zeros((B, n))
+    ident = True
+    for b in range(B):
+        pr = bp.pat_rows[b].astype(np.int64)
+        pc = bp.pat_cols[b].astype(np.int64)
+        cp = bp.c_pat[b]
+        is_d = pr == pc
+        off_idx = np.nonzero(~is_d)[0]
+        off_of = np.full(pr.size, 0, np.int64)
+        off_of[off_idx] = np.arange(off_idx.size)
+        np.add.at(c_diag[b], pr[is_d], cp[is_d])
+        per_off.append((pr[off_idx], pc[off_idx], cp[off_idx]))
+
+        ap = bp.a_pos[b].astype(np.int64)
+        ac = bp.a_con_loc[b].astype(np.int64)
+        av = bp.a_val[b]
+        ed = is_d[ap]
+        con_d, row_d, val_d = ac[ed], pr[ap[ed]], av[ed]
+        # order diag entries by constraint slot (enables the identity
+        # fast path and a deterministic layout)
+        od = np.argsort(con_d, kind="stable")
+        con_d, row_d, val_d = con_d[od], row_d[od], val_d[od]
+        per_ad.append((con_d, row_d, val_d))
+        eo = ~ed
+        per_ao.append((ac[eo], off_of[ap[eo]], av[eo]))
+
+        p = bp.plans[b]
+        ident &= (p.dim == n and p.m_loc == n and con_d.size == n
+                  and bool(np.all(con_d == np.arange(n)))
+                  and bool(np.all(row_d == np.arange(n))))
+
+    Ko = max(max(o[0].size for o in per_off), 1)
+    nnz_d = max(max(a[0].size for a in per_ad), 1)
+    nnz_o = max(max(a[0].size for a in per_ao), 1)
+    ident = ident and all(a[0].size == nnz_d for a in per_ad)
+
+    def padi(seqs, L):
+        out = np.zeros((B, L), np.int32)
+        for b, s in enumerate(seqs):
+            out[b, :s.size] = s
+        return out
+
+    def padf(seqs, L):
+        out = np.zeros((B, L))
+        for b, s in enumerate(seqs):
+            out[b, :s.size] = s
+        return out
+
+    off_rows = padi([o[0] for o in per_off], Ko)
+    off_cols = padi([o[1] for o in per_off], Ko)
+    c_off = padf([o[2] for o in per_off], Ko)
+    a_con_d = padi([a[0] for a in per_ad], nnz_d)
+    a_row_d = padi([a[1] for a in per_ad], nnz_d)
+    a_val_d = padf([a[2] for a in per_ad], nnz_d)
+    a_con_o = padi([a[0] for a in per_ao], nnz_o)
+    a_pos_o = padi([a[1] for a in per_ao], nnz_o)
+    a_val_o = padf([a[2] for a in per_ao], nnz_o)
+
+    # static permutations for sorted scatters
+    po = np.argsort(a_pos_o, axis=1, kind="stable")
+    rp = np.argsort(off_rows, axis=1, kind="stable")
+    rd = np.argsort(a_row_d, axis=1, kind="stable")
+
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+    ta = np.take_along_axis
+    return dict(
+        split=True, diag_ident=bool(ident), Ko=Ko, nnz_d=nnz_d,
+        nnz_o=nnz_o,
+        has_diag_a=any(a[0].size for a in per_ad),
+        has_off_a=any(a[0].size for a in per_ao),
+        has_off=any(o[0].size for o in per_off),
+        off_rows=i32(off_rows), off_cols=i32(off_cols),
+        c_off=f(c_off), c_off2=f(2.0 * c_off), c_diag=f(c_diag),
+        a_con_d=i32(a_con_d), a_row_d=i32(a_row_d), a_val_d=f(a_val_d),
+        a_con_o=i32(a_con_o), a_pos_o=i32(a_pos_o), a_val_o=f(a_val_o),
+        a_pos_o_s=i32(ta(a_pos_o, po, 1)),
+        a_con_o_s=i32(ta(a_con_o, po, 1)),
+        a_val_o_s=f(ta(a_val_o, po, 1)),
+        off_row_perm=i32(rp),
+        off_rows_s=i32(ta(off_rows, rp, 1)),
+        off_cols_rp=i32(ta(off_cols, rp, 1)),
+        a_row_d_s=i32(ta(a_row_d, rd, 1)),
+        a_val_d_s=f(ta(a_val_d, rd, 1)),
+        a_con_d_s=i32(ta(a_con_d, rd, 1)),
+        off_cols_sorted=_rows_sorted(off_cols),
+        a_con_d_sorted=_rows_sorted(a_con_d),
+        a_con_o_sorted=_rows_sorted(a_con_o),
+    )
+
+
+def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
+                      split: bool = True) -> BucketData:
     """Convert a host BucketPlan into device arrays."""
     B, n, K = bp.B, bp.n, bp.K
     f = lambda x: jnp.asarray(x, dtype=dtype)
@@ -183,6 +340,24 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype) -> BucketData:
         )
     z1 = np.zeros((B, 1))
     zi = np.zeros((B, 1), dtype=np.int32)
+    if split:
+        # the split arrays replace the union-pattern layout on device;
+        # keep only placeholders for the union fields (the sharded
+        # builders construct their own non-split BucketData)
+        split_fields = _build_split_fields(bp, dtype)
+        return BucketData(
+            dense=False, n=n, K=K, nnz_a=bp.nnz_a, m_loc=bp.m_loc, B=B,
+            m_glob=m_glob,
+            a_con_loc=i32(zi), a_val_inner=f(z1),
+            glob_idx=i32(bp.glob_idx),
+            pat_rows=i32(zi), pat_cols=i32(zi), c_pat=f(z1),
+            c_pat_inner=f(z1), pat_offdiag=f(z1), a_pos=i32(zi),
+            a_lin=i32(zi), a_lin_t=i32(zi), a_val=f(z1),
+            a_val_mirror=f(z1), c_full=f(np.zeros((B, 1, 1))),
+            a_pos_s=i32(zi), a_con_loc_s=i32(zi), a_val_s=f(z1),
+            row_perm=i32(zi), pat_rows_s=i32(zi), pat_cols_rp=i32(zi),
+            **sort_flags, **split_fields,
+        )
     return BucketData(
         dense=False, n=n, K=K, nnz_a=bp.nnz_a, m_loc=bp.m_loc, B=B,
         m_glob=m_glob,
@@ -201,9 +376,11 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype) -> BucketData:
 # Kernels.  All take the bucket's factor matrices U, V: [B, n, r].
 # ---------------------------------------------------------------------------
 
-def uvt(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+def uvt(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray):
     """sym(UV^T) = (UV^T + VU^T)/2, full (dense) or on-pattern (sparse).
 
+    Sparse split mode returns a (diag [B, n], off [B, Ko]) pair — the
+    diagonal costs only a dense rowsum.
     Reference: LORADSUVt (lorads_alg_common.c:21-68).
     """
     if bk.dense:
@@ -213,11 +390,47 @@ def uvt(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
                          preferred_element_type=U.dtype,
                          precision=jax.lax.Precision.HIGHEST)
         return 0.5 * (UVt + jnp.swapaxes(UVt, 1, 2))
+    if bk.split:
+        d = jnp.sum(U * V, -1)
+        ur = take_rows(U, bk.off_rows)
+        vc = take_rows(V, bk.off_cols)
+        uc = take_rows(U, bk.off_cols)
+        vr = take_rows(V, bk.off_rows)
+        o = 0.5 * (jnp.sum(ur * vc, -1) + jnp.sum(uc * vr, -1))
+        return d, o
     ur = take_rows(U, bk.pat_rows)
     vc = take_rows(V, bk.pat_cols)
     uc = take_rows(U, bk.pat_cols)
     vr = take_rows(V, bk.pat_rows)
     return 0.5 * (jnp.sum(ur * vc, -1) + jnp.sum(uc * vr, -1))
+
+
+def uvt_pair(bk: BucketData, R: jnp.ndarray, D: jnp.ndarray):
+    """(sym(RD^T), sym(DD^T)) pattern values sharing the row/col
+    gathers of R and D (4 gathers instead of 6 per bucket).
+
+    Used by the ALM line-search pair evaluation (ALMCalq12p12,
+    lorads_alm.c:540-560).
+    """
+    if bk.dense:
+        return uvt(bk, R, D), uvt(bk, D, D)
+    if bk.split:
+        rd_d = jnp.sum(R * D, -1)
+        dd_d = jnp.sum(D * D, -1)
+        Rr = take_rows(R, bk.off_rows)
+        Rc = take_rows(R, bk.off_cols)
+        Dr = take_rows(D, bk.off_rows)
+        Dc = take_rows(D, bk.off_cols)
+        rd_o = 0.5 * (jnp.sum(Rr * Dc, -1) + jnp.sum(Rc * Dr, -1))
+        dd_o = jnp.sum(Dr * Dc, -1)
+        return (rd_d, rd_o), (dd_d, dd_o)
+    Rr = take_rows(R, bk.pat_rows)
+    Rc = take_rows(R, bk.pat_cols)
+    Dr = take_rows(D, bk.pat_rows)
+    Dc = take_rows(D, bk.pat_cols)
+    uv_rd = 0.5 * (jnp.sum(Rr * Dc, -1) + jnp.sum(Rc * Dr, -1))
+    uv_dd = jnp.sum(Dr * Dc, -1)
+    return uv_rd, uv_dd
 
 
 def _at_entries(bk: BucketData, uvt_val: jnp.ndarray) -> jnp.ndarray:
@@ -228,21 +441,43 @@ def _at_entries(bk: BucketData, uvt_val: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(uvt_val, bk.a_pos, axis=1)
 
 
-def constr_vals(bk: BucketData, uvt_val: jnp.ndarray) -> jnp.ndarray:
+def constr_vals(bk: BucketData, uvt_val) -> jnp.ndarray:
     """A(sym(UV^T)) for all local constraints -> [B, m_loc].
 
     Reference: coneAUV / mul_inner_rk_double with the diagonal
     double-count correction (lorads_sdp_data.c:524-587, 698-715).
     """
-    contrib = bk.a_val_inner * _at_entries(bk, uvt_val)
-    return batched_segment_sum(contrib, bk.a_con_loc, bk.m_loc,
-                               sorted_ids=bk.a_con_sorted)
+    if bk.dense or not bk.split:
+        contrib = bk.a_val_inner * _at_entries(bk, uvt_val)
+        return batched_segment_sum(contrib, bk.a_con_loc, bk.m_loc,
+                                   sorted_ids=bk.a_con_sorted)
+    d, o = uvt_val
+    if bk.diag_ident:
+        vals = bk.a_val_d * d            # constraint i == diag entry i
+    elif bk.has_diag_a:
+        dg = jnp.take_along_axis(d, bk.a_row_d, axis=1) * bk.a_val_d
+        vals = batched_segment_sum(dg, bk.a_con_d, bk.m_loc,
+                                   sorted_ids=bk.a_con_d_sorted)
+    else:
+        vals = jnp.zeros((bk.B, bk.m_loc), dtype=d.dtype)
+    if bk.has_off_a:
+        og = jnp.take_along_axis(o, bk.a_pos_o, axis=1) * (
+            2.0 * bk.a_val_o)
+        vals = vals + batched_segment_sum(og, bk.a_con_o, bk.m_loc,
+                                          sorted_ids=bk.a_con_o_sorted)
+    return vals
 
 
-def obj_inner(bk: BucketData, uvt_val: jnp.ndarray) -> jnp.ndarray:
+def obj_inner(bk: BucketData, uvt_val) -> jnp.ndarray:
     """<C, sym(UV^T)> per block -> [B].  Reference: objAUV."""
     if bk.dense:
         return jnp.sum(bk.c_full * uvt_val, axis=(1, 2))
+    if bk.split:
+        d, o = uvt_val
+        out = jnp.sum(bk.c_diag * d, axis=1)
+        if bk.has_off:
+            out = out + jnp.sum(bk.c_off2 * o, axis=1)
+        return out
     return jnp.sum(bk.c_pat_inner * uvt_val, axis=1)
 
 
@@ -272,13 +507,31 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
     437-445, 633-641).  ``include_obj=False`` gives the pure adjoint
     A^*(w) used inside the ADMM CG operator (lorads_admm.c:383-385).
     """
-    wa = jnp.take_along_axis(w_loc, bk.a_con_loc, axis=1)
     if bk.dense:
+        wa = jnp.take_along_axis(w_loc, bk.a_con_loc, axis=1)
         n2 = bk.n * bk.n
         pos = jnp.concatenate([bk.a_lin, bk.a_lin_t], axis=1)
         val = jnp.concatenate([bk.a_val * wa, bk.a_val_mirror * wa], axis=1)
         W = batched_segment_sum(val, pos, n2).reshape(-1, bk.n, bk.n)
         return bk.c_full + W if include_obj else W
+    if bk.split:
+        if bk.diag_ident:
+            W_d = bk.a_val_d * w_loc     # row i == constraint i
+        elif bk.has_diag_a:
+            wa_d = jnp.take_along_axis(w_loc, bk.a_con_d_s, axis=1)
+            W_d = batched_segment_sum(bk.a_val_d_s * wa_d, bk.a_row_d_s,
+                                      bk.n, sorted_ids=True)
+        else:
+            W_d = jnp.zeros((bk.B, bk.n), dtype=w_loc.dtype)
+        if bk.has_off_a:
+            wa_o = jnp.take_along_axis(w_loc, bk.a_con_o_s, axis=1)
+            W_o = batched_segment_sum(bk.a_val_o_s * wa_o, bk.a_pos_o_s,
+                                      bk.Ko, sorted_ids=True)
+        else:
+            W_o = jnp.zeros((bk.B, bk.Ko), dtype=w_loc.dtype)
+        if include_obj:
+            return bk.c_diag + W_d, bk.c_off + W_o
+        return W_d, W_o
     # entries pre-permuted to pattern-slot order: the scatter is sorted
     wa_s = jnp.take_along_axis(w_loc, bk.a_con_loc_s, axis=1)
     W = batched_segment_sum(bk.a_val_s * wa_s, bk.a_pos_s, bk.K,
@@ -286,7 +539,7 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
     return bk.c_pat + W if include_obj else W
 
 
-def w_mul(bk: BucketData, W: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+def w_mul(bk: BucketData, W, X: jnp.ndarray) -> jnp.ndarray:
     """W @ X for symmetric W given as build_w output -> [B, n, r].
 
     Reference: mul_rk (lorads_sdp_data.c:491-504, 646-671).
@@ -295,6 +548,22 @@ def w_mul(bk: BucketData, W: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
         return jnp.einsum("bnm,bmr->bnr", W, X,
                           preferred_element_type=X.dtype,
                           precision=jax.lax.Precision.HIGHEST)
+    if bk.split:
+        W_d, W_o = W
+        out = W_d[:, :, None] * X
+        if bk.has_off:
+            # lower pass in row-sorted order (a [Ko] gather of W_o buys
+            # a sorted scatter); upper pass is column-sorted already
+            W_rp = jnp.take_along_axis(W_o, bk.off_row_perm, axis=1)
+            xc_rp = take_rows(X, bk.off_cols_rp)
+            out = out + batched_segment_sum(
+                W_rp[:, :, None] * xc_rp, bk.off_rows_s, bk.n,
+                sorted_ids=True)
+            xr = take_rows(X, bk.off_rows)
+            out = out + batched_segment_sum(
+                W_o[:, :, None] * xr, bk.off_cols, bk.n,
+                sorted_ids=bk.off_cols_sorted)
+        return out
     # lower pass in row-sorted order (one extra [K] gather of W buys
     # a sorted scatter); upper pass is already column-sorted
     W_rp = jnp.take_along_axis(W, bk.row_perm, axis=1)

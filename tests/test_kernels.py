@@ -151,3 +151,64 @@ def test_dense_mode_thresholds():
     problem = generators.maxcut(n=300, avg_degree=4, seed=0)
     ps, _ = _setup(problem)
     assert not ps.plans[0].dense
+
+
+def test_split_vs_union_parity():
+    """Diag/offdiag split kernels match the union-pattern kernels on a
+    sparse-mode problem with mixed diag and offdiag constraint entries."""
+    problem = generators.lovasz_theta(n=140, avg_degree=6, seed=3)
+    params = LoradsParams(dense_threshold=1.01,
+                          per_matrix_dense_threshold=1.1,
+                          dense_dim_threshold=0)
+    ps = presolve(problem, params)
+    for bp in ps.buckets:
+        bku = pat.build_bucket_data(bp, problem.m, jnp.float64, split=False)
+        bks = pat.build_bucket_data(bp, problem.m, jnp.float64, split=True)
+        assert not bku.split and bks.split
+        rng = np.random.default_rng(0)
+        r = 7
+        U = jnp.asarray(rng.standard_normal((bp.B, bp.n, r)))
+        V = jnp.asarray(rng.standard_normal((bp.B, bp.n, r)))
+        w = jnp.asarray(rng.standard_normal((bp.B, bp.m_loc)))
+
+        uv_u = pat.uvt(bku, U, V)
+        uv_s = pat.uvt(bks, U, V)
+        np.testing.assert_allclose(
+            np.asarray(pat.constr_vals(bks, uv_s)),
+            np.asarray(pat.constr_vals(bku, uv_u)), rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(pat.obj_inner(bks, uv_s)),
+            np.asarray(pat.obj_inner(bku, uv_u)), rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(pat.w_mul(bks, pat.build_w(bks, w), U)),
+            np.asarray(pat.w_mul(bku, pat.build_w(bku, w), U)),
+            rtol=1e-9, atol=1e-11)
+        # pair evaluation
+        (rd_s, dd_s) = pat.uvt_pair(bks, U, V)
+        np.testing.assert_allclose(
+            np.asarray(pat.obj_inner(bks, rd_s)),
+            np.asarray(pat.obj_inner(bku, pat.uvt(bku, U, V))),
+            rtol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(pat.constr_vals(bks, dd_s)),
+            np.asarray(pat.constr_vals(bku, pat.uvt(bku, V, V))),
+            rtol=1e-10, atol=1e-12)
+
+
+def test_split_diag_ident_maxcut():
+    """Max-Cut's A_i = e_i e_i^T is detected as the diag-identity
+    structure and the dense constraint path matches the oracle."""
+    problem = generators.maxcut(n=120, avg_degree=5, seed=7)
+    params = LoradsParams(dense_threshold=1.01,
+                          per_matrix_dense_threshold=1.1,
+                          dense_dim_threshold=0)
+    ps = presolve(problem, params)
+    bp = ps.buckets[0]
+    bk = pat.build_bucket_data(bp, problem.m, jnp.float64)
+    assert bk.split and bk.diag_ident and not bk.has_off_a
+    rng = np.random.default_rng(1)
+    U = rng.standard_normal((1, bp.n, 5))
+    V = rng.standard_normal((1, bp.n, 5))
+    X = _oracle_sym(U[0], V[0])
+    vals = pat.constr_vals(bk, pat.uvt(bk, jnp.asarray(U), jnp.asarray(V)))
+    np.testing.assert_allclose(np.asarray(vals)[0], np.diag(X), rtol=1e-10)
