@@ -77,15 +77,17 @@ def alm_dual_and_grad(pd: ProblemData, R: FactorVec, dual, constr_sum, rho):
 
 
 def alm_update_rho_body(pd: ProblemData, R: FactorVec, dual, constr_sum,
-                        rho, factor, grad0: FactorVec):
+                        rho, factor, grad0: FactorVec, caches=None):
     """do { rho *= factor; recompute grad } while (0.1/rho >= cert)
     (UpdateRho, lorads_alm.c:1174-1180)."""
+    if caches is None:
+        caches = aop.gather_caches(pd, R)
 
     def body(c):
         rho_, _, _ = c
         rho_n = rho_ * factor
         w = rho_n * (constr_sum - pd.rhs) - dual
-        g = aop.grad(pd, R, w)
+        g = aop.grad_cached(pd, R, w, caches)
         cert = jnp.sqrt(fv_norm2sq(g)) / (1.0 + pd.c_nrm_inf)
         return rho_n, g, cert
 
@@ -117,14 +119,20 @@ def _inner_loop(pd: ProblemData, R: FactorVec, grad: FactorVec,
                 hist: LBFGSHistory, dual, constr_sum, cert_val, rho,
                 cert_tol, end_sub_tol, end_tau_tol, phase1_tol, gap_ok,
                 max_local, check_pinf_conv: bool = True,
-                refresh_every: int = 25):
+                refresh_every: int = 25, caches=None):
     """The inner L-BFGS loop (lorads_alm.c:1073-1150) as one device loop.
 
     Exits when: certificate satisfied, local iteration cap, tau too
     small, line-search failure, or (init phase only) primal
     infeasibility below phase1Tol.
+
+    ``caches`` are the incremental pattern caches of R
+    (aop.gather_caches); per iteration only the new direction D is
+    gathered, and the caches advance by tau alongside R.
     """
     pinf_scale = (1.0 + pd.b_nrm1) / (1.0 + pd.b_nrm_inf)
+    if caches is None:
+        caches = aop.gather_caches(pd, R)
 
     def conv(pinf_l1):
         if not check_pinf_conv:
@@ -132,18 +140,20 @@ def _inner_loop(pd: ProblemData, R: FactorVec, grad: FactorVec,
         return (pinf_l1 * pinf_scale <= phase1_tol) & gap_ok
 
     def cond(carry):
-        (R_, g_, h_, cs_, cert_, pinf_, it, tau, num_err, tau_small) = carry
+        (R_, g_, h_, ca_, cs_, cert_, pinf_, it, tau, num_err,
+         tau_small) = carry
         return ((cert_ - cert_tol > end_sub_tol)
                 & (it < max_local)
                 & (~num_err) & (~tau_small)
                 & (~conv(pinf_)))
 
     def body(carry):
-        (R_, g_, h_, cs_, cert_, pinf_, it, _, _, _) = carry
+        (R_, g_, h_, ca_, cs_, cert_, pinf_, it, _, _, _) = carry
         h_ = jax.lax.cond(it % 300 == 0, history_reset, lambda h: h, h_)
         D = lbfgs_direction(h_, g_)
         q0 = pd.rhs - cs_
-        p1, q1, p2, q2 = aop.obj_and_auv_pair(pd, R_, D)
+        p1, q1, p2, q2, dcaches = aop.obj_and_auv_pair_cached(
+            pd, R_, D, ca_)
         p1, q1 = 2.0 * p1, 2.0 * q1
         tau, num = alm_line_search(rho, dual, p1, p2, q0, q1, q2)
         num_err = num == 0
@@ -154,43 +164,64 @@ def _inner_loop(pd: ProblemData, R: FactorVec, grad: FactorVec,
             y0 = g_.scale(-1.0)
             Rn = R_.axpy(tau, D)
             cs_inc = cs_ + tau * q1 + (tau * tau) * q2
-            w = rho * (cs_inc - pd.rhs) - dual
-            gn = aop.grad(pd, Rn, w)
-            hn = history_push(h_, D.scale(tau), y0 + gn)
             # The reference recomputes A(RR^T) fresh every inner
             # iteration (updateDimacsALM, lorads_alm.c:1128-1130); the
-            # incremental sum cs_inc is exact in exact arithmetic, so
-            # we keep it and refresh only every `refresh_every` steps
-            # for floating-point hygiene — one A-pass saved per step.
-            total = jax.lax.cond(
+            # incremental sum cs_inc and the pattern caches are exact
+            # in exact arithmetic, so both advance incrementally and
+            # refresh every `refresh_every` steps for fp hygiene.
+            def refresh(_):
+                cn = aop.gather_caches(pd, Rn)
+                return cn, aop.auv_cached(pd, Rn, cn)
+
+            def keep(_):
+                return aop.axpy_caches(ca_, tau, dcaches), cs_inc
+
+            can, total = jax.lax.cond(
                 it % refresh_every == refresh_every - 1,
-                lambda _: aop.auv(pd, Rn, Rn)[1],
-                lambda _: cs_inc, None)
+                refresh, keep, None)
+            w = rho * (cs_inc - pd.rhs) - dual
+            gn = aop.grad_cached(pd, Rn, w, can)
+            hn = history_push(h_, D.scale(tau), y0 + gn)
             pinf = aop.primal_infeas_l1(pd, total)
             certn = jnp.sqrt(fv_norm2sq(gn)) / (1.0 + pd.c_nrm_inf)
-            return Rn, gn, hn, total, certn, pinf
+            return Rn, gn, hn, can, total, certn, pinf
 
         def no_update(_):
-            return R_, g_, h_, cs_, cert_, pinf_
+            return R_, g_, h_, ca_, cs_, cert_, pinf_
 
-        Rn, gn, hn, csn, certn, pinfn = jax.lax.cond(
+        Rn, gn, hn, can, csn, certn, pinfn = jax.lax.cond(
             ok, do_update, no_update, None)
-        return (Rn, gn, hn, csn, certn, pinfn, it + 1, tau,
+        return (Rn, gn, hn, can, csn, certn, pinfn, it + 1, tau,
                 num_err, tau_small)
 
     pinf0 = aop.primal_infeas_l1(pd, constr_sum)
-    carry = (R, grad, hist, constr_sum, cert_val, pinf0,
+    carry = (R, grad, hist, caches, constr_sum, cert_val, pinf0,
              jnp.zeros((), jnp.int32), jnp.zeros_like(rho),
              jnp.asarray(False), jnp.asarray(False))
     carry = jax.lax.while_loop(cond, body, carry)
-    (R, grad, hist, constr_sum, cert_val, pinf_l1, it, tau,
+    (R, grad, hist, caches, constr_sum, cert_val, pinf_l1, it, tau,
      num_err, tau_small) = carry
     return (R, grad, hist, constr_sum,
             dict(cert_val=cert_val, pinf_l1=pinf_l1, local_iter=it,
-                 tau=tau, num_err=num_err, tau_small=tau_small))
+                 tau=tau, num_err=num_err, tau_small=tau_small),
+            caches)
 
 
-inner_chunk = partial(jax.jit, static_argnames=(
+def inner_chunk(pd, R, grad, hist, dual, constr_sum, cert_val, rho,
+                cert_tol, end_sub_tol, end_tau_tol, phase1_tol, gap_ok,
+                max_local, check_pinf_conv: bool = True,
+                refresh_every: int = 25):
+    """Jitted single inner-loop dispatch (kept for tests/tools; the
+    solver path drives middle_chunk)."""
+    out = _inner_chunk_jit(pd, R, grad, hist, dual, constr_sum,
+                           cert_val, rho, cert_tol, end_sub_tol,
+                           end_tau_tol, phase1_tol, gap_ok, max_local,
+                           check_pinf_conv=check_pinf_conv,
+                           refresh_every=refresh_every)
+    return out[:5]
+
+
+_inner_chunk_jit = partial(jax.jit, static_argnames=(
     "check_pinf_conv", "refresh_every"))(_inner_loop)
 
 
@@ -262,11 +293,12 @@ def middle_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
                           i32(M_CERT_TOL), exit_)
 
         def run_pass(c):
-            (R1, g1, h1, cs1, info) = _inner_loop(
+            (R1, g1, h1, cs1, info, ca1) = _inner_loop(
                 pd, c["R"], c["grad"], c["hist"], c["dual"],
                 c["constr_sum"], c["cert_val"], rho, cert_tol,
                 end_sub_tol, end_tau_tol, phase1_tol, gap_ok,
-                i32(801), check_pinf_conv=check_pinf_conv)
+                i32(801), check_pinf_conv=check_pinf_conv,
+                caches=c["caches"])
             local = info["local_iter"]
             exit2 = i32(M_RUNNING)
             exit2 = jnp.where(info["num_err"], i32(M_NUM_ERR), exit2)
@@ -285,7 +317,7 @@ def middle_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
             def dual_step(_):
                 dual_n = c["dual"] + rho * (pd.rhs - cs1)
                 w = rho * (cs1 - pd.rhs) - dual_n
-                g = aop.grad(pd, R1, w)
+                g = aop.grad_cached(pd, R1, w, ca1)
                 cert = jnp.sqrt(fv_norm2sq(g)) / (1.0 + pd.c_nrm_inf)
                 return dual_n, g, cert
 
@@ -314,7 +346,8 @@ def middle_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
                 exit2 != M_RUNNING, c["rank_flag"],
                 jnp.where(local <= 20, 0, c["rank_flag"] + rank_inc))
             return dict(
-                c, R=R1, grad=g2, hist=h1, constr_sum=cs1, dual=dual_n,
+                c, R=R1, grad=g2, hist=h1, caches=ca1, constr_sum=cs1,
+                dual=dual_n,
                 cert_val=cert2, pinf_l1=info["pinf_l1"],
                 tau=info["tau"], best_cert=best_cert,
                 no_improve=no_improve, ema_cur=ema_cur, ema_old=ema_old,
@@ -332,6 +365,7 @@ def middle_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
 
     carry = dict(
         R=R, grad=grad, hist=hist, dual=dual, constr_sum=constr_sum,
+        caches=aop.gather_caches(pd, R),
         cert_val=jnp.asarray(cert_val, dt),
         pinf_l1=jnp.asarray(pinf_l1_init, dt), tau=jnp.zeros((), dt),
         best_cert=jnp.asarray(jnp.inf, dt),
@@ -353,7 +387,7 @@ def middle_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
     def do_rho(c):
         rho_n, g, cert = alm_update_rho_body(
             pd, c["R"], c["dual"], c["constr_sum"], rho,
-            rho_update_factor, c["grad"])
+            rho_update_factor, c["grad"], caches=c["caches"])
         return dict(c, grad=g, cert_val=cert), rho_n
 
     def no_rho(c):

@@ -169,6 +169,72 @@ def obj_only(pd: ProblemData, X: FactorVec, Y: FactorVec) -> jnp.ndarray:
     return obj
 
 
+def gather_caches(pd: ProblemData, R: FactorVec):
+    """Per-bucket incremental pattern caches of R (pattern.gather_cache)."""
+    return tuple(pat.gather_cache(bk, Rb)
+                 for bk, Rb in zip(pd.buckets, R.cones))
+
+
+def axpy_caches(caches, t, dcaches):
+    """caches + t * dcaches, None entries passed through."""
+    return tuple(
+        c if c is None else (c[0] + t * d[0], c[1] + t * d[1])
+        for c, d in zip(caches, dcaches))
+
+
+def obj_and_auv_pair_cached(pd: ProblemData, R: FactorVec, D: FactorVec,
+                            caches):
+    """obj_and_auv_pair using R's caches; also returns D's gathered
+    rows (dcaches) so the caller can advance the caches by tau."""
+    dt = pd.rhs.dtype
+    p1 = jnp.zeros((), dt)
+    p2 = jnp.zeros((), dt)
+    t1 = jnp.zeros((pd.m,), dt)
+    t2 = jnp.zeros((pd.m,), dt)
+    dcaches = []
+    for bk, Rb, Db, cache in zip(pd.buckets, R.cones, D.cones, caches):
+        (uv_rd, uv_dd), dc = pat.uvt_pair_cached(bk, Rb, Db, cache)
+        dcaches.append(dc)
+        p1 = p1 + jnp.sum(pat.obj_inner(bk, uv_rd))
+        p2 = p2 + jnp.sum(pat.obj_inner(bk, uv_dd))
+        t1 = t1 + pat.scatter_constr(bk, pat.constr_vals(bk, uv_rd))
+        t2 = t2 + pat.scatter_constr(bk, pat.constr_vals(bk, uv_dd))
+    if pd.lp is not None:
+        rd = R.lp * D.lp
+        dd = D.lp * D.lp
+        p1 = p1 + lp_ops.obj_inner(pd.lp, rd)
+        p2 = p2 + lp_ops.obj_inner(pd.lp, dd)
+        t1 = t1 + lp_ops.constr_vals(pd.lp, rd)
+        t2 = t2 + lp_ops.constr_vals(pd.lp, dd)
+    return p1, t1, p2, t2, tuple(dcaches)
+
+
+def auv_cached(pd: ProblemData, R: FactorVec, caches):
+    """A(sym(RR^T)) global sum from the caches (no factor gathers)."""
+    total = jnp.zeros((pd.m,), dtype=pd.rhs.dtype)
+    for bk, Rb, cache in zip(pd.buckets, R.cones, caches):
+        vals = pat.constr_vals(bk, pat.uvt_from_cache(bk, Rb, cache))
+        total = total + pat.scatter_constr(bk, vals)
+    if pd.lp is not None:
+        total = total + lp_ops.constr_vals(pd.lp, R.lp * R.lp)
+    return total
+
+
+def grad_cached(pd: ProblemData, R: FactorVec, w: jnp.ndarray,
+                caches) -> FactorVec:
+    """grad() consuming R's caches for the W @ R products."""
+    cones = []
+    for bk, Rb, cache in zip(pd.buckets, R.cones, caches):
+        w_loc = pat.gather_w(bk, w)
+        W = pat.build_w(bk, w_loc)
+        cones.append(2.0 * pat.w_mul_cached(bk, W, Rb, cache))
+    if pd.lp is not None:
+        lp_g = 2.0 * (pd.lp.obj + lp_ops.adjoint_cols(pd.lp, w)) * R.lp
+    else:
+        lp_g = jnp.zeros_like(R.lp)
+    return FactorVec(tuple(cones), lp_g)
+
+
 def grad(pd: ProblemData, R: FactorVec, w: jnp.ndarray) -> FactorVec:
     """2 (C + A^*(w)) R over all blocks; LP: 2 (c_j + a_j^T w) r_j.
 

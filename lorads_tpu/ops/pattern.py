@@ -581,3 +581,63 @@ def auv_into_global(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray):
     """Convenience: (local constraint values, global scatter)."""
     vals = constr_vals(bk, uvt(bk, U, V))
     return vals, scatter_constr(bk, vals)
+
+
+# ---------------------------------------------------------------------------
+# Incremental pattern caches.
+#
+# The ALM/CG iterates evolve by axpys (R += tau * D), so the gathered
+# off-pattern rows evolve the same way: cache (X[off_rows], X[off_cols])
+# once and update it with tau * (D[off_rows], D[off_cols]) — the per-
+# iteration gathers then touch only the new direction.  Exact in exact
+# arithmetic; refreshed on the same cadence as the incremental
+# constraint sums (alm.py refresh_every).
+# ---------------------------------------------------------------------------
+
+def gather_cache(bk: BucketData, X: jnp.ndarray):
+    """(X[off_rows], X[off_cols]) for split buckets, else None."""
+    if bk.dense or not bk.split or not bk.has_off:
+        return None
+    return take_rows(X, bk.off_rows), take_rows(X, bk.off_cols)
+
+
+def uvt_from_cache(bk: BucketData, R: jnp.ndarray, cache):
+    """sym(RR^T) pattern values from the cache (no gathers)."""
+    if cache is None:
+        return uvt(bk, R, R)
+    Rr, Rc = cache
+    return jnp.sum(R * R, -1), jnp.sum(Rr * Rc, -1)
+
+
+def uvt_pair_cached(bk: BucketData, R: jnp.ndarray, D: jnp.ndarray,
+                    cache):
+    """uvt_pair using the R-cache; returns (pair, d_cache) where
+    d_cache holds D's gathered rows for the caller's cache update."""
+    if cache is None:
+        return uvt_pair(bk, R, D), None
+    Rr, Rc = cache
+    Dr = take_rows(D, bk.off_rows)
+    Dc = take_rows(D, bk.off_cols)
+    rd_d = jnp.sum(R * D, -1)
+    dd_d = jnp.sum(D * D, -1)
+    rd_o = 0.5 * (jnp.sum(Rr * Dc, -1) + jnp.sum(Rc * Dr, -1))
+    dd_o = jnp.sum(Dr * Dc, -1)
+    return ((rd_d, rd_o), (dd_d, dd_o)), (Dr, Dc)
+
+
+def w_mul_cached(bk: BucketData, W, X: jnp.ndarray, cache) -> jnp.ndarray:
+    """w_mul consuming the cache instead of gathering X's rows.
+
+    Uses unsorted scatters (measured: the sorted-scatter promise does
+    not change TPU segment-sum cost, and the cache holds the
+    unpermuted order)."""
+    if cache is None:
+        return w_mul(bk, W, X)
+    W_d, W_o = W
+    out = W_d[:, :, None] * X
+    Xr, Xc = cache
+    out = out + batched_segment_sum(W_o[:, :, None] * Xc, bk.off_rows,
+                                    bk.n)
+    out = out + batched_segment_sum(W_o[:, :, None] * Xr, bk.off_cols,
+                                    bk.n, sorted_ids=bk.off_cols_sorted)
+    return out
