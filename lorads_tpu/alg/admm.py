@@ -72,16 +72,22 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
     base = rho * (constr_sum - pd.rhs) - dual
     w_loc = pat.gather_w(bk, base) - rho * local_vals   # M1, per block
     W = pat.build_w(bk, w_loc)                          # C + A*(M1)
-    M2 = pat.w_mul(bk, W, fixed_var) - rho * fixed_var
+    # the fixed factor is constant for the whole CG solve: cache its
+    # gathered pattern rows once (pattern.gather_cache) so each CG
+    # matvec gathers only the iterate's rows
+    fcache = pat.gather_cache(bk, fixed_var)
+    M2 = pat.w_mul_cached(bk, W, fixed_var, fcache) - rho * fixed_var
     rhs = -M2 / rho
 
     def op(x):
-        vals = pat.constr_vals(bk, pat.uvt(bk, x, fixed_var))
+        vals = pat.constr_vals(bk, pat.uvt_half_cached(
+            bk, x, fixed_var, fcache))
         Wop = pat.build_w(bk, vals, include_obj=False)
-        return x + pat.w_mul(bk, Wop, fixed_var)
+        return x + pat.w_mul_cached(bk, Wop, fixed_var, fcache)
 
     new_var, iters = cg_solve(op, update_var, rhs, cg_tol, cg_max)
-    new_local = pat.constr_vals(bk, pat.uvt(bk, new_var, fixed_var))
+    new_local = pat.constr_vals(bk, pat.uvt_half_cached(
+        bk, new_var, fixed_var, fcache))
     new_sum = constr_sum + pat.scatter_constr(bk, new_local - local_vals)
     return new_var, new_local, new_sum, iters
 

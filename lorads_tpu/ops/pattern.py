@@ -625,6 +625,20 @@ def uvt_pair_cached(bk: BucketData, R: jnp.ndarray, D: jnp.ndarray,
     return ((rd_d, rd_o), (dd_d, dd_o)), (Dr, Dc)
 
 
+def uvt_half_cached(bk: BucketData, X: jnp.ndarray, F: jnp.ndarray,
+                    fcache):
+    """sym(X F^T) pattern values with F's rows cached (ADMM CG: the
+    fixed factor is constant across the whole CG solve)."""
+    if fcache is None:
+        return uvt(bk, X, F)
+    Fr, Fc = fcache
+    Xr = take_rows(X, bk.off_rows)
+    Xc = take_rows(X, bk.off_cols)
+    d = jnp.sum(X * F, -1)
+    o = 0.5 * (jnp.sum(Xr * Fc, -1) + jnp.sum(Xc * Fr, -1))
+    return d, o
+
+
 def w_mul_cached(bk: BucketData, W, X: jnp.ndarray, cache) -> jnp.ndarray:
     """w_mul consuming the cache instead of gathering X's rows.
 
