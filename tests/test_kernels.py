@@ -1,5 +1,6 @@
 """Pattern/LP kernels vs dense NumPy oracles (SURVEY.md §4 strategy)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -212,3 +213,37 @@ def test_split_diag_ident_maxcut():
     X = _oracle_sym(U[0], V[0])
     vals = pat.constr_vals(bk, pat.uvt(bk, jnp.asarray(U), jnp.asarray(V)))
     np.testing.assert_allclose(np.asarray(vals)[0], np.diag(X), rtol=1e-10)
+
+
+def test_onehot_sorted_scatter_interpret():
+    """One-hot MXU window scatter == segment_sum (interpret mode)."""
+    from lorads_tpu.ops import onehot
+    rng = np.random.default_rng(3)
+    for (K, n, r) in [(5000, 1000, 20), (3000, 517, 7), (64, 2000, 3)]:
+        ids = np.sort(rng.integers(0, n, K))
+        vals = rng.standard_normal((K, r)).astype(np.float32)
+        plan = onehot.plan_sorted_scatter(ids, n, CT=256, WT=2048)
+        assert plan.ok
+        out = onehot.sorted_scatter(jnp.asarray(vals), jnp.asarray(ids),
+                                    n, plan, interpret=True)
+        ref = jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(ids),
+                                  num_segments=n, indices_are_sorted=True)
+        denom = max(1e-9, float(jnp.max(jnp.abs(ref))))
+        assert float(jnp.max(jnp.abs(out - ref))) / denom < 1e-6
+
+
+def test_onehot_skewed_fallback():
+    """A segment wider than the window falls back to XLA segment_sum."""
+    from lorads_tpu.ops import onehot
+    rng = np.random.default_rng(4)
+    ids = np.sort(np.concatenate([np.zeros(4000, np.int64),
+                                  rng.integers(0, 300, 500)]))
+    vals = rng.standard_normal((ids.size, 5)).astype(np.float32)
+    plan = onehot.plan_sorted_scatter(ids, 300, CT=256, WT=2048)
+    assert not plan.ok
+    out = onehot.sorted_scatter(jnp.asarray(vals), jnp.asarray(ids),
+                                300, plan)
+    ref = jax.ops.segment_sum(jnp.asarray(vals), jnp.asarray(ids),
+                              num_segments=300, indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
