@@ -232,26 +232,25 @@ M_RUNNING, M_EASY, M_CERT_TOL, M_EMA_STOP, M_BUDGET, M_RANK, \
     M_NUM_ERR, M_TAU_SMALL, M_PINF_CONV, M_NO_IMPROVE = range(10)
 
 
-@partial(jax.jit, static_argnames=("check_pinf_conv", "high_acc_mode"))
-def middle_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
-                 hist: LBFGSHistory, dual, constr_sum, cert_val, rho,
-                 cert_tol, end_sub_tol, end_tau_tol, phase1_tol, gap_ok,
-                 max_sub_iter, rank_flag, rank_flag_thres,
-                 rank_trigger_armed, rho_update_factor, pinf_l1_init,
-                 check_pinf_conv: bool = True,
-                 high_acc_mode: bool = False):
-    """One ALM outer iteration fully on device: the middle loop of
-    L-BFGS passes (difficulty grading, EMA stagnation, certificate and
-    budget checks, dual ascent per pass) followed — unless the phase
-    exits — by the rho escalation do-while (UpdateRho).
+def _middle_and_rho(pd: ProblemData, R: FactorVec, grad: FactorVec,
+                    hist: LBFGSHistory, caches, dual, constr_sum,
+                    cert_val, rho, cert_tol, end_sub_tol, end_tau_tol,
+                    phase1_tol, gap_ok, max_sub_iter, rank_flag,
+                    rank_flag_thres, rank_trigger_armed,
+                    rho_update_factor, pinf_l1_init,
+                    check_pinf_conv: bool = True,
+                    high_acc_mode: bool = False):
+    """One ALM outer iteration on device: the middle loop of L-BFGS
+    passes (difficulty grading, EMA stagnation, certificate and budget
+    checks, dual ascent per pass) followed — unless the phase exits —
+    by the rho escalation do-while (UpdateRho).
 
-    Replaces ~4-12 host round-trips per outer iteration with one; the
-    adaptive decisions the reference takes in C host code
+    The adaptive decisions the reference takes in C host code
     (lorads_alm.c:1040-1190) become scalar device arithmetic.  Rank
-    augmentation, logging and reopt control stay on host.
+    augmentation, logging and reopt control stay outside.
 
     ``rank_trigger_armed`` = (rank_flag can fire: not at rank cap and
-    k - last_outer_start >= 3), computed by the host.
+    k - last_outer_start >= 3), computed by the caller.
     """
     dt = pd.rhs.dtype
     i32 = lambda v: jnp.asarray(v, jnp.int32)
@@ -365,7 +364,7 @@ def middle_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
 
     carry = dict(
         R=R, grad=grad, hist=hist, dual=dual, constr_sum=constr_sum,
-        caches=aop.gather_caches(pd, R),
+        caches=caches,
         cert_val=jnp.asarray(cert_val, dt),
         pinf_l1=jnp.asarray(pinf_l1_init, dt), tau=jnp.zeros((), dt),
         best_cert=jnp.asarray(jnp.inf, dt),
@@ -394,15 +393,220 @@ def middle_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
         return c, rho
 
     carry, rho_out = jax.lax.cond(phase_exit, no_rho, do_rho, carry)
-    hist_out = jax.lax.cond(
+    carry["hist"] = jax.lax.cond(
         phase_exit, lambda h: h, history_reset, carry["hist"])
-    return (carry["R"], carry["grad"], hist_out, carry["dual"],
+    return carry, rho_out
+
+
+@partial(jax.jit, static_argnames=("check_pinf_conv", "high_acc_mode"))
+def middle_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
+                 hist: LBFGSHistory, dual, constr_sum, cert_val, rho,
+                 cert_tol, end_sub_tol, end_tau_tol, phase1_tol, gap_ok,
+                 max_sub_iter, rank_flag, rank_flag_thres,
+                 rank_trigger_armed, rho_update_factor, pinf_l1_init,
+                 check_pinf_conv: bool = True,
+                 high_acc_mode: bool = False):
+    """Single-outer device dispatch (kept for tests; the solver path
+    drives outer_chunk)."""
+    carry, rho_out = _middle_and_rho(
+        pd, R, grad, hist, aop.gather_caches(pd, R), dual, constr_sum,
+        cert_val, rho, cert_tol, end_sub_tol, end_tau_tol, phase1_tol,
+        gap_ok, max_sub_iter, rank_flag, rank_flag_thres,
+        rank_trigger_armed, rho_update_factor, pinf_l1_init,
+        check_pinf_conv=check_pinf_conv, high_acc_mode=high_acc_mode)
+    return (carry["R"], carry["grad"], carry["hist"], carry["dual"],
             carry["constr_sum"], rho_out,
             dict(cert_val=carry["cert_val"], pinf_l1=carry["pinf_l1"],
                  tau=carry["tau"], total_inner=carry["total_inner"],
                  rank_flag=carry["rank_flag"],
                  iter_counter=carry["iter_counter"],
                  exit=carry["exit"]))
+
+
+# Outer-chunk exit codes.
+O_LIMIT, O_DONE, O_NUM_ERR, O_RANK, O_KMAX = range(5)
+
+# per-outer log record layout (device buffer -> host printout)
+LOG_COLS = 8  # k, inner, pobj, dobj, pinf_l1, pinf_inf, gap, rho
+
+
+@partial(jax.jit, static_argnames=(
+    "reopt", "high_acc_mode", "early_stop", "cones_ok", "max_outers"))
+def outer_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
+                hist: LBFGSHistory, dual, constr_sum, cert_val, rho,
+                rho_update_factor, rho_factor_flag, k, k0, max_alm_iter,
+                max_sub_iter, update_max_sub_counter, rank_flag,
+                rank_flag_thres, is_rank_max, last_outer_start,
+                pobj0, dobj0, pinf0, gap0, scale_obj,
+                end_sub_tol, end_tau_tol, phase1_tol, phase2_tol,
+                reopt: bool = False, high_acc_mode: bool = False,
+                early_stop: bool = True, cones_ok: bool = True,
+                max_outers: int = 8):
+    """Up to ``max_outers`` full ALM outer iterations in ONE device
+    dispatch: middle loop + UpdateRho (+history reset) + objective /
+    DIMACS refresh + every termination / rank / budget decision of
+    LORADS_ALMOptimize's outer loop (lorads_alm.c:991-1255,
+    745-987 for the reopt variant).  Only rank augmentation, logging
+    (via the returned per-outer record buffer), the wall-clock limit
+    and phase transitions remain on host.
+    """
+    dt = pd.rhs.dtype
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    check_pinf_conv = not reopt
+
+    def cond(c):
+        return (c["oexit"] == O_LIMIT) & (c["n_done"] < max_outers)
+
+    def body(c):
+        # ---- loop-top break (k budget) ----
+        if reopt:
+            brk = ((c["k"] > max_alm_iter)
+                   & (c["pinf_inf"] <= phase1_tol)
+                   & ((c["gap"] <= jnp.maximum(phase1_tol,
+                                               phase2_tol * 5))
+                      if high_acc_mode else jnp.asarray(True)))
+        else:
+            brk = c["k"] > max_alm_iter
+
+        def do_break(c):
+            return dict(c, oexit=i32(O_KMAX))
+
+        def do_outer(c):
+            # max_alm_sub_iter adaptation (lorads_alm.c:1044-1049)
+            bump = c["update_max_sub_counter"] >= 2
+            umsc = jnp.where(bump, 0, c["update_max_sub_counter"])
+            max_sub = jnp.where(
+                bump, jnp.minimum(c["max_sub"] + 10000, 25000),
+                c["max_sub"])
+
+            gap_ok = jnp.asarray(True) if not high_acc_mode else (
+                c["gap"] <= phase1_tol)
+            armed = (~is_rank_max) & (
+                c["k"] - last_outer_start >= 3)
+
+            m, rho_n = _middle_and_rho(
+                pd, c["R"], c["grad"], c["hist"], c["caches"],
+                c["dual"], c["constr_sum"], c["cert_val"], c["rho"],
+                0.1 / c["rho"], end_sub_tol, end_tau_tol, phase1_tol,
+                gap_ok, max_sub, c["rank_flag"], rank_flag_thres,
+                armed, c["rho_factor"], c["pinf_l1"],
+                check_pinf_conv=check_pinf_conv,
+                high_acc_mode=high_acc_mode)
+            mexit = m["exit"]
+            pinf_inf_m = m["pinf_l1"] * (1.0 + pd.b_nrm1) / (
+                1.0 + pd.b_nrm_inf)
+
+            oexit = i32(O_LIMIT)
+            oexit = jnp.where(mexit == M_NUM_ERR, i32(O_NUM_ERR), oexit)
+            oexit = jnp.where(mexit == M_PINF_CONV, i32(O_DONE), oexit)
+            umsc = jnp.where(mexit == M_BUDGET, umsc + 1, umsc)
+            phase_exit = (mexit == M_NUM_ERR) | (mexit == M_PINF_CONV)
+
+            # rho-factor damping thresholds (lorads_alm.c:1192-1205)
+            rf, flag = c["rho_factor"], c["rho_flag"]
+            hit4 = (rho_n >= 5e4) & (flag < 4)
+            rf = jnp.where(hit4, rf ** 0.25, rf)
+            flag = jnp.where(hit4, 4, flag)
+            hit6 = (rho_n >= 5e6) & (flag < 6)
+            rf = jnp.where(hit6, rf ** 0.25, rf)
+            flag = jnp.where(hit6, 6, flag)
+            hit8 = (rho_n >= 5e8) & (flag < 8)
+            rf = jnp.where(hit8, rf ** 0.25, rf)
+            flag = jnp.where(hit8, 8, flag)
+
+            k_n = jnp.where(phase_exit, c["k"], c["k"] + 1)
+
+            # init-mode fast termination (pre-DIMACS, lorads_alm.c:1208)
+            if not reopt:
+                fast_done = ((oexit == O_LIMIT)
+                             & (pinf_inf_m <= phase1_tol) & gap_ok)
+                oexit = jnp.where(fast_done, i32(O_DONE), oexit)
+
+            # objective/DIMACS refresh (updateDimacsALM + calObj;
+            # replaces the constraint-value cache like the reference)
+            pobj = aop.obj_cached(pd, m["R"], m["caches"]) / scale_obj
+            dobj = jnp.vdot(pd.rhs, m["dual"]) / scale_obj
+            total = aop.auv_cached(pd, m["R"], m["caches"])
+            pinf = aop.primal_infeas_l1(pd, total)
+            gap = jnp.abs(pobj - dobj) / (
+                1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+            pinf_inf = pinf * (1.0 + pd.b_nrm1) / (1.0 + pd.b_nrm_inf)
+            # on phase exit keep the pre-refresh stats (finalize
+            # recomputes them fresh on host)
+            keep = oexit != O_LIMIT
+            constr_sum_n = jax.lax.cond(
+                keep, lambda _: m["constr_sum"], lambda _: total, None)
+
+            # reopt / strict termination (lorads_alm.c:755-780, 1246)
+            if reopt:
+                if early_stop:
+                    term = ((pinf <= phase1_tol)
+                            & (gap <= jnp.maximum(phase1_tol,
+                                                  phase2_tol * 5))
+                            & (k_n - k0 > 1))
+                else:
+                    term = ((gap <= phase2_tol) & (pinf <= phase2_tol)
+                            & (k_n - k0 > 1))
+            else:
+                term = ((gap <= phase1_tol * 1e-3)
+                        & (pinf <= phase1_tol * 1e-3))
+            oexit = jnp.where((oexit == O_LIMIT) & term, i32(O_DONE),
+                              oexit)
+
+            # rank augmentation trigger (lorads_alm.c:1227-1236)
+            rank_flag_n = m["rank_flag"]
+            if cones_ok:
+                trig = ((rank_flag_n >= rank_flag_thres)
+                        & (~is_rank_max))
+                rank_flag_n = jnp.where(trig, 0, rank_flag_n)
+                fire = (trig & (k_n - last_outer_start >= 2)
+                        & (oexit == O_LIMIT))
+                oexit = jnp.where(fire, i32(O_RANK), oexit)
+
+            # per-outer log record
+            rec = jnp.stack([
+                k_n.astype(dt), m["total_inner"].astype(dt), pobj,
+                dobj, pinf, pinf_inf, gap, rho_n])
+            logbuf = jax.lax.dynamic_update_index_in_dim(
+                c["logbuf"], rec, c["n_done"], axis=0)
+
+            return dict(
+                R=m["R"], grad=m["grad"], hist=m["hist"],
+                caches=m["caches"], dual=m["dual"],
+                constr_sum=constr_sum_n, cert_val=m["cert_val"],
+                rho=rho_n, rho_factor=rf, rho_flag=flag, k=k_n,
+                max_sub=max_sub, update_max_sub_counter=umsc,
+                rank_flag=rank_flag_n,
+                total_inner=c["total_inner"] + m["total_inner"],
+                pobj=jnp.where(keep, c["pobj"], pobj),
+                dobj=jnp.where(keep, c["dobj"], dobj),
+                pinf_l1=jnp.where(keep, m["pinf_l1"], pinf),
+                pinf_inf=jnp.where(keep, pinf_inf_m, pinf_inf),
+                gap=jnp.where(keep, c["gap"], gap),
+                tau=m["tau"], mexit=mexit, oexit=oexit,
+                n_done=c["n_done"] + 1, logbuf=logbuf)
+
+        return jax.lax.cond(brk, do_break, do_outer, c)
+
+    carry = dict(
+        R=R, grad=grad, hist=hist, caches=aop.gather_caches(pd, R),
+        dual=dual, constr_sum=constr_sum,
+        cert_val=jnp.asarray(cert_val, dt), rho=jnp.asarray(rho, dt),
+        rho_factor=jnp.asarray(rho_update_factor, dt),
+        rho_flag=i32(rho_factor_flag), k=i32(k),
+        max_sub=i32(max_sub_iter),
+        update_max_sub_counter=i32(update_max_sub_counter),
+        rank_flag=i32(rank_flag), total_inner=jnp.zeros((), jnp.int32),
+        pobj=jnp.asarray(pobj0, dt), dobj=jnp.asarray(dobj0, dt),
+        pinf_l1=jnp.asarray(pinf0, dt),
+        pinf_inf=jnp.asarray(pinf0, dt) * (1.0 + pd.b_nrm1) / (
+            1.0 + pd.b_nrm_inf),
+        gap=jnp.asarray(gap0, dt), tau=jnp.zeros((), dt),
+        mexit=jnp.zeros((), jnp.int32), oexit=i32(O_LIMIT),
+        n_done=jnp.zeros((), jnp.int32),
+        logbuf=jnp.zeros((max_outers, LOG_COLS), dt))
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry
 
 
 # ---------------------------------------------------------------------------
@@ -494,126 +698,82 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
         return ALMResult(action, R, dual, hist, total)
 
     k = stats.outer_iter
-    while True:
-        if reopt:
-            if k > max_alm_iter and (
-                    stats.pinf_inf <= params.phase1_tol
-                    and (stats.gap <= max(params.phase1_tol,
-                                          params.phase2_tol * 5)
-                         or not params.high_acc_mode)):
-                break
-        else:
-            if k > max_alm_iter:
-                break
-        cur_iter_counter = 1
-        if update_max_sub_counter >= 2:
-            update_max_sub_counter = 0
-            solver_ctx.max_alm_sub_iter = min(
-                solver_ctx.max_alm_sub_iter + max_sub_iter_inc,
-                max_sub_iter_ceil)
+    dt = pd.rhs.dtype
+    cones_ok = True if not reopt else (pd.n_buckets <= 10)
+    max_outers = 8
 
-        # --- one device dispatch for the whole middle loop + UpdateRho
-        # (the reference's per-pass host logic, lorads_alm.c:1040-1190,
-        # runs as scalar device arithmetic; see middle_chunk) ---
-        gap_ok = (not params.high_acc_mode) or (
-            stats.gap <= params.phase1_tol)
-        armed = (not is_rank_max) and (k - last_outer_start >= 3)
-        dt = pd.rhs.dtype
-        (R, grad, hist, dual, constr_sum, rho_n, info) = middle_chunk(
+    while True:
+        out = outer_chunk(
             pd, R, grad, hist, dual, constr_sum,
             jnp.asarray(cert_val, dt), jnp.asarray(stats.rho, dt),
-            jnp.asarray(cert_tol, dt),
-            jnp.asarray(params.end_alm_sub_tol, dt),
-            jnp.asarray(params.end_tau_tol, dt),
-            jnp.asarray(params.phase1_tol, dt), jnp.asarray(gap_ok),
+            jnp.asarray(rho_update_factor, dt),
+            jnp.asarray(rho_factor_flag, jnp.int32),
+            jnp.asarray(k, jnp.int32), jnp.asarray(k0, jnp.int32),
+            jnp.asarray(max_alm_iter, jnp.int32),
             jnp.asarray(solver_ctx.max_alm_sub_iter, jnp.int32),
+            jnp.asarray(update_max_sub_counter, jnp.int32),
             jnp.asarray(rank_flag, jnp.int32),
             jnp.asarray(rank_flag_thres, jnp.int32),
-            jnp.asarray(armed),
-            jnp.asarray(rho_update_factor, dt),
+            jnp.asarray(bool(is_rank_max)),
+            jnp.asarray(last_outer_start, jnp.int32),
+            jnp.asarray(stats.pobj if stats.pobj < 1e29 else 1e30, dt),
+            jnp.asarray(stats.dobj if stats.dobj < 1e29 else 1e30, dt),
             jnp.asarray(stats.pinf_l1 if stats.pinf_l1 < 1e29 else 1e30,
                         dt),
-            check_pinf_conv=not reopt,
-            high_acc_mode=params.high_acc_mode)
-        # one blocking transfer for all middle-loop scalars (host
-        # round-trips are expensive on remote/tunneled backends)
-        info = jax.device_get(info)
-        stats.inner_iter += int(info["total_inner"])
-        cur_iter_counter += int(info["iter_counter"]) - 1
-        rank_flag = int(info["rank_flag"])
-        cert_val = float(info["cert_val"])
-        stats.pinf_l1 = float(info["pinf_l1"])
-        stats.pinf_inf = stats.pinf_l1 * (1 + pd.b_nrm1) / (1 + pd.b_nrm_inf)
-        stats.tau = float(info["tau"])
-        exit_code = int(info["exit"])
+            jnp.asarray(stats.gap if stats.gap < 1e29 else 1e30, dt),
+            jnp.asarray(scale_obj, dt),
+            jnp.asarray(params.end_alm_sub_tol, dt),
+            jnp.asarray(params.end_tau_tol, dt),
+            jnp.asarray(params.phase1_tol, dt),
+            jnp.asarray(params.phase2_tol, dt),
+            reopt=reopt, high_acc_mode=params.high_acc_mode,
+            early_stop=early_stop, cones_ok=cones_ok,
+            max_outers=max_outers)
+        # one blocking transfer for everything the host needs
+        R, grad, hist, dual, constr_sum = (
+            out["R"], out["grad"], out["hist"], out["dual"],
+            out["constr_sum"])
+        sc = jax.device_get({kk: out[kk] for kk in (
+            "cert_val", "rho", "rho_factor", "rho_flag", "k", "max_sub",
+            "update_max_sub_counter", "rank_flag", "total_inner",
+            "pobj", "dobj", "pinf_l1", "pinf_inf", "gap", "tau",
+            "mexit", "oexit", "n_done", "logbuf")})
+        cert_val = float(sc["cert_val"])
+        stats.rho = float(sc["rho"])
+        rho_update_factor = float(sc["rho_factor"])
+        rho_factor_flag = int(sc["rho_flag"])
+        k = int(sc["k"])
+        solver_ctx.max_alm_sub_iter = int(sc["max_sub"])
+        update_max_sub_counter = int(sc["update_max_sub_counter"])
+        rank_flag = int(sc["rank_flag"])
+        stats.inner_iter += int(sc["total_inner"])
+        stats.pobj, stats.dobj = float(sc["pobj"]), float(sc["dobj"])
+        stats.pinf_l1 = float(sc["pinf_l1"])
+        stats.pinf_inf = float(sc["pinf_inf"])
+        stats.gap = float(sc["gap"])
+        stats.tau = float(sc["tau"])
+        stats.outer_iter = k
+        oexit = int(sc["oexit"])
+        mexit = int(sc["mexit"])
 
-        if exit_code == M_NUM_ERR:
-            return finalize("num_err")
-        if exit_code == M_PINF_CONV:
-            stats.outer_iter = k
-            return finalize("done")
-        if exit_code == M_BUDGET:
-            update_max_sub_counter += 1
-        if exit_code == M_TAU_SMALL:
+        inner_before = stats.inner_iter - int(sc["total_inner"])
+        acc = 0
+        for row in sc["logbuf"][: int(sc["n_done"])]:
+            acc += int(row[1])
+            log(f"ALM Outer:{int(row[0])} Inner:{inner_before + acc} "
+                f"pObj:{row[2]:5.5e} dObj:{row[3]:5.5e} "
+                f"pInf(1):{row[4]:5.5e} pInf(Inf):{row[5]:5.5e} "
+                f"pdGap:{row[6]:5.5e} rho:{row[7]:3.2f} "
+                f"Time:{time.time() - t0:3.2f}")
+        if mexit == M_TAU_SMALL:
             log(f"update rho since tau is too small: {stats.tau:5.3e}")
 
-        stats.rho = float(rho_n)
-        cert_tol = 0.1 / stats.rho
-        if stats.rho >= 5e4 and rho_factor_flag < 4:
-            rho_update_factor = rho_update_factor ** 0.25
-            rho_factor_flag = 4
-        elif stats.rho >= 5e6 and rho_factor_flag < 6:
-            rho_update_factor = rho_update_factor ** 0.25
-            rho_factor_flag = 6
-        elif stats.rho >= 5e8 and rho_factor_flag < 8:
-            rho_update_factor = rho_update_factor ** 0.25
-            rho_factor_flag = 8
-        k += 1
-        stats.outer_iter = k
-
-        # outer-iteration bookkeeping + termination
-        if not reopt:
-            if stats.pinf_inf <= params.phase1_tol and (
-                    stats.gap <= params.phase1_tol
-                    or not params.high_acc_mode):
-                return finalize("done")
-        pobj, dobj, total, pinf, gap = alm_obj_dimacs(
-            pd, R, dual, jnp.asarray(scale_obj))
-        constr_sum = total
-        pobj, dobj, pinf, gap = jax.device_get((pobj, dobj, pinf, gap))
-        stats.pobj, stats.dobj = float(pobj), float(dobj)
-        stats.pinf_l1, stats.gap = float(pinf), float(gap)
-        stats.pinf_inf = stats.pinf_l1 * (1 + pd.b_nrm1) / (1 + pd.b_nrm_inf)
-        if reopt:
-            if early_stop:
-                if (stats.pinf_l1 <= params.phase1_tol
-                        and stats.gap <= max(params.phase1_tol,
-                                             params.phase2_tol * 5)
-                        and k - k0 > 1):
-                    return finalize("done")
-            else:
-                if (stats.gap <= params.phase2_tol
-                        and stats.pinf_l1 <= params.phase2_tol
-                        and k - k0 > 1):
-                    return finalize("done")
-        else:
-            if (stats.gap <= params.phase1_tol * 1e-3
-                    and stats.pinf_l1 <= params.phase1_tol * 1e-3):
-                return finalize("done")
-        log(f"ALM Outer:{stats.outer_iter} Inner:{stats.inner_iter} "
-            f"pObj:{stats.pobj:5.5e} dObj:{stats.dobj:5.5e} "
-            f"pInf(1):{stats.pinf_l1:5.5e} pInf(Inf):{stats.pinf_inf:5.5e} "
-            f"pdGap:{stats.gap:5.5e} rho:{stats.rho:3.2f} "
-            f"Time:{time.time() - t0:3.2f}")
+        if oexit == O_NUM_ERR:
+            return finalize("num_err")
+        if oexit in (O_DONE, O_KMAX):
+            return finalize("done")
+        if oexit == O_RANK:
+            return ALMResult("aug_rank", R, dual, hist, constr_sum)
         if time.time() - time_solve_start >= params.time_sec_limit:
             return finalize("time_out")
-
-        # dynamic rank augmentation trigger (lorads_alm.c:1227-1236)
-        cones_ok = True if not reopt else (pd.n_buckets <= 10)
-        if rank_flag >= rank_flag_thres and not is_rank_max and cones_ok:
-            rank_flag = 0
-            if k - last_outer_start >= 2:
-                stats.outer_iter = k
-                return ALMResult("aug_rank", R, dual, hist, constr_sum)
-
-    return finalize("done")
+        # oexit == O_LIMIT: dispatch budget reached, keep going

@@ -220,6 +220,17 @@ def auv_cached(pd: ProblemData, R: FactorVec, caches):
     return total
 
 
+def obj_cached(pd: ProblemData, R: FactorVec, caches) -> jnp.ndarray:
+    """<C, sym(RR^T)> from the caches (no factor gathers)."""
+    obj = jnp.zeros((), dtype=pd.rhs.dtype)
+    for bk, Rb, cache in zip(pd.buckets, R.cones, caches):
+        obj = obj + jnp.sum(pat.obj_inner(
+            bk, pat.uvt_from_cache(bk, Rb, cache)))
+    if pd.lp is not None:
+        obj = obj + lp_ops.obj_inner(pd.lp, R.lp * R.lp)
+    return obj
+
+
 def grad_cached(pd: ProblemData, R: FactorVec, w: jnp.ndarray,
                 caches) -> FactorVec:
     """grad() consuming R's caches for the W @ R products."""
