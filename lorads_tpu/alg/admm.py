@@ -58,11 +58,14 @@ class ADMMStats:
 
 def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
                         fixed_var, local_vals, constr_sum, dual, rho,
-                        cg_tol, cg_max):
+                        cg_tol, cg_max, fcache=None):
     """One side of the splitting for one bucket: solve for U with V
     fixed (LORADSUpdateSDPVarOne, lorads_admm.c:428-480).
 
-    Returns (new_var, new_local_vals, new_constr_sum, cg_iters).
+    Returns (new_var, new_local_vals, new_constr_sum, cg_iters,
+    new_cache) where new_cache holds the UPDATED variable's gathered
+    pattern rows (reused as the next update's fixed-side cache and for
+    the X_bar refresh).
 
     Jacobi inside the bucket: every block b must see
     constrValSum - A_b(U_b V_b^T) (its OWN contribution removed, not
@@ -75,7 +78,8 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
     # the fixed factor is constant for the whole CG solve: cache its
     # gathered pattern rows once (pattern.gather_cache) so each CG
     # matvec gathers only the iterate's rows
-    fcache = pat.gather_cache(bk, fixed_var)
+    if fcache is None:
+        fcache = pat.gather_cache(bk, fixed_var)
     M2 = pat.w_mul_cached(bk, W, fixed_var, fcache) - rho * fixed_var
     rhs = -M2 / rho
 
@@ -86,10 +90,17 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
         return x + pat.w_mul_cached(bk, Wop, fixed_var, fcache)
 
     new_var, iters = cg_solve(op, update_var, rhs, cg_tol, cg_max)
-    new_local = pat.constr_vals(bk, pat.uvt_half_cached(
-        bk, new_var, fixed_var, fcache))
+    new_cache = pat.gather_cache(bk, new_var)
+    if new_cache is None:
+        uv = pat.uvt(bk, new_var, fixed_var)
+    else:
+        nr, nc = new_cache
+        fr, fc = fcache
+        uv = (jnp.sum(new_var * fixed_var, -1),
+              0.5 * (jnp.sum(nr * fc, -1) + jnp.sum(nc * fr, -1)))
+    new_local = pat.constr_vals(bk, uv)
     new_sum = constr_sum + pat.scatter_constr(bk, new_local - local_vals)
-    return new_var, new_local, new_sum, iters
+    return new_var, new_local, new_sum, iters, new_cache
 
 
 def _update_lp_var(pd: ProblemData, upd, fixed, lp_contrib, constr_sum,
@@ -127,19 +138,20 @@ def _update_sdp_var_bucket_gs(pd: ProblemData, bk: pat.BucketData,
     def step(csum, xs):
         bk_b, u_b, v_b, loc_b = xs
         bk1 = jax.tree.map(lambda x: x[None], bk_b)
-        u1, loc1, csum1, it = _update_sdp_var_one(
+        u1, loc1, csum1, it, _ = _update_sdp_var_one(
             pd, bk1, u_b[None], v_b[None], loc_b[None], csum, dual,
             rho, cg_tol, cg_max)
         return csum1, (u1[0], loc1[0], it)
 
     csum, (u_new, loc_new, iters) = jax.lax.scan(
         step, constr_sum, (bk, upd, fixed, local_vals))
-    return u_new, loc_new, csum, jnp.sum(iters, dtype=jnp.int32)
+    return u_new, loc_new, csum, jnp.sum(iters, dtype=jnp.int32), None
 
 
 def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
                     locals_: Tuple, lp_contrib, constr_sum, dual, rho,
-                    cg_tol, cg_max, jacobi: bool = False):
+                    cg_tol, cg_max, jacobi: bool = False,
+                    u_caches=None, v_caches=None):
     """One sweep over buckets (U then V each), then LP.
 
     Reference: LORADSUpdateSDPVar / LORADSUpdateSDPLPVar
@@ -148,21 +160,34 @@ def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
     jacobi=True updates all blocks of a bucket simultaneously
     (parallel across devices, but can diverge at low rho on strongly
     coupled blocks — validated per use).
+
+    u_caches/v_caches: per-bucket gathered pattern rows of U/V from
+    the previous sweep (None entries recomputed), returned updated.
     """
     u_cones, v_cones = list(U.cones), list(V.cones)
     locals_ = list(locals_)
+    nb = len(pd.buckets)
+    u_caches = list(u_caches) if u_caches is not None else [None] * nb
+    v_caches = list(v_caches) if v_caches is not None else [None] * nb
     cg_total = jnp.zeros((), jnp.int32)
     for j, bk in enumerate(pd.buckets):
-        upd_fn = (_update_sdp_var_one if jacobi or bk.B == 1
-                  else _update_sdp_var_bucket_gs)
-        u_new, loc, constr_sum, it1 = upd_fn(
-            pd, bk, u_cones[j], v_cones[j], locals_[j], constr_sum,
-            dual, rho, cg_tol, cg_max)
-        u_cones[j] = u_new
-        v_new, loc, constr_sum, it2 = upd_fn(
-            pd, bk, v_cones[j], u_new, loc, constr_sum,
-            dual, rho, cg_tol, cg_max)
-        v_cones[j] = v_new
+        simple = jacobi or bk.B == 1
+        if simple:
+            u_new, loc, constr_sum, it1, uc = _update_sdp_var_one(
+                pd, bk, u_cones[j], v_cones[j], locals_[j], constr_sum,
+                dual, rho, cg_tol, cg_max, fcache=v_caches[j])
+            v_new, loc, constr_sum, it2, vc = _update_sdp_var_one(
+                pd, bk, v_cones[j], u_new, loc, constr_sum,
+                dual, rho, cg_tol, cg_max, fcache=uc)
+        else:
+            u_new, loc, constr_sum, it1, uc = _update_sdp_var_bucket_gs(
+                pd, bk, u_cones[j], v_cones[j], locals_[j], constr_sum,
+                dual, rho, cg_tol, cg_max)
+            v_new, loc, constr_sum, it2, vc = _update_sdp_var_bucket_gs(
+                pd, bk, v_cones[j], u_new, loc, constr_sum,
+                dual, rho, cg_tol, cg_max)
+        u_cones[j], v_cones[j] = u_new, v_new
+        u_caches[j], v_caches[j] = uc, vc
         locals_[j] = loc
         cg_total = cg_total + it1 + it2
     lp_u, lp_v = U.lp, V.lp
@@ -173,19 +198,32 @@ def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
             pd, lp_v, lp_u, lp_contrib, constr_sum, dual, rho)
     return (FactorVec(tuple(u_cones), lp_u),
             FactorVec(tuple(v_cones), lp_v),
-            tuple(locals_), lp_contrib, constr_sum, cg_total)
+            tuple(locals_), lp_contrib, constr_sum, cg_total,
+            tuple(u_caches), tuple(v_caches))
 
 
 def _obj_dimacs_xbar(pd: ProblemData, U: FactorVec, V: FactorVec, dual,
-                     scale):
+                     scale, u_caches=None, v_caches=None):
     """pObj/dObj/pinf/gap at X_bar=(U+V)/2; returns the refreshed caches.
 
     Reference: calObj_admm + updateDimacsADMM (lorads_admm.c:79-81,
     lorads_alg_common.c:282-300).  Note the caches now hold
     A(X_bar X_bar^T) — kept, matching the reference trajectory.
+    X_bar's gathered pattern rows derive from U's and V's caches
+    ((u+v)/2) when available — no fresh gathers.
     """
     R = jax.tree.map(lambda u, v: 0.5 * (u + v), U, V)
-    pobj, locals_, total = aop.obj_and_auv(pd, R, R)
+    if u_caches is not None and v_caches is not None:
+        xcaches = tuple(
+            None if (uc is None or vc is None)
+            else (0.5 * (uc[0] + vc[0]), 0.5 * (uc[1] + vc[1]))
+            for uc, vc in zip(u_caches, v_caches))
+        xcaches = tuple(
+            pat.gather_cache(bk, Rb) if xc is None else xc
+            for bk, Rb, xc in zip(pd.buckets, R.cones, xcaches))
+        pobj, locals_, total = aop.obj_and_auv_cached(pd, R, xcaches)
+    else:
+        pobj, locals_, total = aop.obj_and_auv(pd, R, R)
     pobj = pobj / scale
     dobj = jnp.vdot(pd.rhs, dual) / scale
     pinf = aop.primal_infeas_l1(pd, total)
@@ -228,12 +266,14 @@ def make_admm_chunk(params, reopt: bool):
 
         def body(c):
             cg_tol = jnp.minimum(c["pinf_l1"] * cg_tol_mult, 1e-8)
-            (U_, V_, locals__, lpc, csum, cg_it) = admm_update_all(
-                pd, c["U"], c["V"], c["locals"], c["lp_contrib"],
-                c["constr_sum"], c["dual"], c["rho"], cg_tol, 800,
-                jacobi=jacobi)
+            (U_, V_, locals__, lpc, csum, cg_it, ucs, vcs) = \
+                admm_update_all(
+                    pd, c["U"], c["V"], c["locals"], c["lp_contrib"],
+                    c["constr_sum"], c["dual"], c["rho"], cg_tol, 800,
+                    jacobi=jacobi, u_caches=c["u_caches"],
+                    v_caches=c["v_caches"])
             pobj, dobj, pinf, gap, locals__, lpc, csum = _obj_dimacs_xbar(
-                pd, U_, V_, c["dual"], scale)
+                pd, U_, V_, c["dual"], scale, ucs, vcs)
             pinf_inf = pinf * (1.0 + pd.b_nrm1) / (1.0 + pd.b_nrm_inf)
 
             i32 = lambda v: jnp.asarray(v, jnp.int32)
@@ -298,6 +338,7 @@ def make_admm_chunk(params, reopt: bool):
 
             return dict(best_gap=best_gap_n, since_best=since_n,
                         U=U_, V=V_, locals=tuple(locals__),
+                        u_caches=ucs, v_caches=vcs,
                         lp_contrib=lpc, constr_sum=csum, dual=dual_n,
                         rho=rho_n, cur_rho_max=cur_rho_max_n,
                         pinf_buf=buf, old_pinf_mean=old_mean_n,
@@ -308,8 +349,17 @@ def make_admm_chunk(params, reopt: bool):
                         count=c["count"] + 1)
 
         dt = pd.rhs.dtype
+        def init_cache(bk, x):
+            if jacobi or bk.B == 1:
+                return pat.gather_cache(bk, x)
+            return None
+
         carry = dict(
             U=U, V=V, locals=tuple(locals_), lp_contrib=lp_contrib,
+            u_caches=tuple(init_cache(bk, x)
+                           for bk, x in zip(pd.buckets, U.cones)),
+            v_caches=tuple(init_cache(bk, x)
+                           for bk, x in zip(pd.buckets, V.cones)),
             constr_sum=constr_sum, dual=dual, rho=rho,
             cur_rho_max=cur_rho_max, pinf_buf=pinf_buf,
             old_pinf_mean=old_pinf_mean, bad_pd=bad_pd, it=it,

@@ -220,6 +220,24 @@ def auv_cached(pd: ProblemData, R: FactorVec, caches):
     return total
 
 
+def obj_and_auv_cached(pd: ProblemData, R: FactorVec, caches):
+    """obj_and_auv computing the pattern values from R's caches."""
+    locals_ = []
+    total = jnp.zeros((pd.m,), dtype=pd.rhs.dtype)
+    obj = jnp.zeros((), dtype=pd.rhs.dtype)
+    for bk, Rb, cache in zip(pd.buckets, R.cones, caches):
+        uv = pat.uvt_from_cache(bk, Rb, cache)
+        obj = obj + jnp.sum(pat.obj_inner(bk, uv))
+        vals = pat.constr_vals(bk, uv)
+        locals_.append(vals)
+        total = total + pat.scatter_constr(bk, vals)
+    if pd.lp is not None:
+        xy = R.lp * R.lp
+        obj = obj + lp_ops.obj_inner(pd.lp, xy)
+        total = total + lp_ops.constr_vals(pd.lp, xy)
+    return obj, tuple(locals_), total
+
+
 def obj_cached(pd: ProblemData, R: FactorVec, caches) -> jnp.ndarray:
     """<C, sym(RR^T)> from the caches (no factor gathers)."""
     obj = jnp.zeros((), dtype=pd.rhs.dtype)

@@ -32,9 +32,9 @@ def _single_device_step(pd, U, V, dual, rho):
     w = rho * (total - pd.rhs) - dual
     Wg = pat.build_w(bk, pat.gather_w(bk, w))
     grad = 2.0 * pat.w_mul(bk, Wg, U.cones[0])
-    U1, vals, total, _ = _update_sdp_var_one(
+    U1, vals, total, _, _ = _update_sdp_var_one(
         pd, bk, U.cones[0], V.cones[0], vals, total, dual, rho, 1e-10, 50)
-    V1, vals, total, _ = _update_sdp_var_one(
+    V1, vals, total, _, _ = _update_sdp_var_one(
         pd, bk, V.cones[0], U1, vals, total, dual, rho, 1e-10, 50)
     return U1, V1, total, grad
 
