@@ -27,8 +27,7 @@ def _bnorm(x):
     return jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
 
 
-@partial(jax.jit, static_argnames=("matvec", "k"))
-def lanczos_sweep(matvec: Callable, v0: jnp.ndarray, k: int):
+def _sweep(matvec: Callable, v0: jnp.ndarray, k: int):
     """One k-step Lanczos sweep with full reorthogonalization.
 
     v0: [B, n].  Returns (alphas [k, B], betas [k, B], Vs [k, B, n],
@@ -68,6 +67,9 @@ def lanczos_sweep(matvec: Callable, v0: jnp.ndarray, k: int):
     return alphas, betas, Vs, alive
 
 
+lanczos_sweep = partial(jax.jit, static_argnames=("matvec", "k"))(_sweep)
+
+
 def lanczos_min_eig(matvec: Callable, v0: jnp.ndarray, k: int = 36,
                     restarts: int = 2) -> np.ndarray:
     """Smallest eigenvalue per block.  Host-side restarts + f64 eigh
@@ -91,4 +93,34 @@ def lanczos_min_eig(matvec: Callable, v0: jnp.ndarray, k: int = 36,
             lam[b] = evals[0]
             ritz[b] = np.einsum("kn,k->n", Vs_h[:, b, :], evecs[:, 0])
         v = jnp.asarray(ritz, dtype=v0.dtype)
+    return lam
+
+
+def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
+                           k: int = 36, restarts: int = 2) -> jnp.ndarray:
+    """Fully on-device variant: sweeps + batched k x k tridiagonal
+    eigh + Ritz restarts, no host round-trips.  For use INSIDE a
+    jitted caller (no closure-keyed jit cache entries; the whole dual
+    certificate becomes one dispatch).
+
+    Breakdown slots are re-pointed at alpha_0 (a Rayleigh quotient,
+    >= lambda_min) with zero coupling instead of the +1e30 sentinel —
+    an in-range duplicate eigenvalue keeps the batched f32/f64 eigh
+    well conditioned without affecting the minimum.
+    """
+    B, n = v0.shape
+    k = min(k, n)
+    v = v0
+    lam = None
+    for _ in range(restarts):
+        alphas, betas, Vs, _ = _sweep(matvec, v, k)
+        al = alphas.T                                  # [B, k]
+        al = jnp.where(al >= 1e29, al[:, 0:1], al)
+        be = betas.T[:, : max(k - 1, 0)]               # [B, k-1]
+        T = (jax.vmap(jnp.diag)(al)
+             + jax.vmap(lambda b: jnp.diag(b, 1))(be)
+             + jax.vmap(lambda b: jnp.diag(b, -1))(be))
+        evals, evecs = jnp.linalg.eigh(T)
+        lam = evals[:, 0]
+        v = jnp.einsum("kbn,bk->bn", Vs, evecs[:, :, 0])
     return lam

@@ -27,7 +27,7 @@ from lorads_tpu.alg import alm as alm_mod
 from lorads_tpu.alg import aop
 from lorads_tpu.alg.admm import ADMMStats
 from lorads_tpu.alg.alm import ALMStats
-from lorads_tpu.alg.lanczos import lanczos_min_eig
+from lorads_tpu.alg.lanczos import lanczos_min_eig_device
 from lorads_tpu.alg.state import FactorVec, make_history
 from lorads_tpu.config import LoradsParams, SolverStatus
 from lorads_tpu.core.presolve import Presolved, presolve
@@ -420,53 +420,32 @@ class LoradsSolver:
     # ------------------------------------------------------------------
 
     def dual_infeasibility(self) -> float:
-        """calculate_dual_infeasibility_solver (lorads_solver.c:1007-1037)."""
-        neg_l = -self.dual
-        dinf = 0.0
-        if self.pd.lp is not None:
-            vals = np.asarray(self.pd.lp.obj
-                              + lp_ops.adjoint_cols(self.pd.lp, neg_l))
-            dinf += float(np.sum(np.abs(np.minimum(vals, 0.0))))
-        for bk in self.pd.buckets:
-            w_loc = pat.gather_w(bk, neg_l)
-            W = pat.build_w(bk, w_loc)
-            # normalize the slack operator per block: |lambda| grows
-            # with rho, and an un-normalized f32 Lanczos sweep can
-            # overflow (eigenvalues rescale back exactly)
-            if bk.dense:
-                w_scale = np.maximum(np.asarray(
-                    jnp.max(jnp.abs(W), axis=(1, 2))), 1e-30)
-                Wn = W / jnp.asarray(w_scale)[:, None, None]
-            elif bk.split:
-                W_d, W_o = W
-                w_scale = np.maximum(np.asarray(jnp.maximum(
-                    jnp.max(jnp.abs(W_d), axis=1),
-                    jnp.max(jnp.abs(W_o), axis=1))), 1e-30)
-                s = jnp.asarray(w_scale)[:, None]
-                Wn = (W_d / s, W_o / s)
-            else:
-                w_scale = np.maximum(np.asarray(
-                    jnp.max(jnp.abs(W), axis=1)), 1e-30)
-                Wn = W / jnp.asarray(w_scale)[:, None]
+        """calculate_dual_infeasibility_solver (lorads_solver.c:1007-1037).
 
-            def mv(x, bk=bk, Wn=Wn):
-                return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]
-
-            v0 = jnp.asarray(
-                self._rng.standard_normal((bk.B, bk.n)), self.dtype)
+        One jitted dispatch: slack assembly, per-block operator
+        normalization, batched Lanczos with on-device restarts and
+        tridiagonal eigh (see lanczos_min_eig_device), LP column part.
+        """
+        v0s = []
+        for bk, bp in zip(self.pd.buckets, self.ps.buckets):
+            v0 = self._rng.standard_normal((bk.B, bk.n))
             # mask padded rows so they stay out of the Krylov space
-            row_ok = (jnp.arange(bk.n)[None, :]
-                      < jnp.asarray([p.dim for p in
-                                     self._bucket_plans(bk)])[:, None])
-            v0 = v0 * row_ok
-            lams = lanczos_min_eig(mv, v0) * w_scale
-            if np.any(np.isnan(lams)):
+            v0 *= (np.arange(bk.n)[None, :]
+                   < np.asarray(bp.dims)[:, None])
+            v0s.append(jnp.asarray(v0, self.dtype))
+        v0s = tuple(v0s)
+        lp_part, lams = _dual_infeas_device(self.pd, self.dual, v0s)
+        lp_part, lams = jax.device_get((lp_part, lams))
+        dinf = float(lp_part)
+        for lam in lams:
+            lam = np.asarray(lam)
+            if np.any(np.isnan(lam)):
                 # pessimistic fallback: a NaN sweep must not let the
                 # status claim optimality
                 self.log("warning: Lanczos returned NaN on a block; "
                          "treating its dual slack as infeasible")
-                lams = np.where(np.isnan(lams), -1.0, lams)
-            dinf += float(np.sum(np.abs(np.minimum(lams, 0.0))))
+                lam = np.where(np.isnan(lam), -1.0, lam)
+            dinf += float(np.sum(np.abs(np.minimum(lam, 0.0))))
         dinf /= self.scale_obj_his
         dinf /= (self.pd.c_nrm1 + 1.0)
         return dinf
@@ -476,6 +455,7 @@ class LoradsSolver:
             if bp.n == bk.n and bp.B == bk.B and bp.K == bk.K:
                 return bp.plans
         raise KeyError("bucket not found")
+
 
     # ------------------------------------------------------------------
     # Reopt (lorads_solver.c:1075-1117).
@@ -640,3 +620,47 @@ def solve(problem: SDPProblem, params: Optional[LoradsParams] = None,
     if params is None:
         params = LoradsParams(**kw)
     return LoradsSolver(problem, params).solve()
+
+
+@jax.jit
+def _dual_infeas_device(pd, dual, v0s):
+    """Slack assembly + normalized batched Lanczos for every bucket +
+    the LP column part, as one device program.
+
+    Reference: calculate_dual_infeasibility_solver + dual_infeasible
+    (lorads_solver.c:1007-1037, lorads_sdp_conic.c:1286-1349; ARPACK
+    "SA", ncv=40, tol=1e-2 becomes a 36-step double-restart batched
+    Lanczos with on-device tridiagonal eigh).
+    """
+
+    neg_l = -dual
+    if pd.lp is not None:
+        vals = pd.lp.obj + lp_ops.adjoint_cols(pd.lp, neg_l)
+        lp_part = jnp.sum(jnp.abs(jnp.minimum(vals, 0.0)))
+    else:
+        lp_part = jnp.zeros((), dual.dtype)
+    lams = []
+    for bk, v0 in zip(pd.buckets, v0s):
+        w_loc = pat.gather_w(bk, neg_l)
+        W = pat.build_w(bk, w_loc)
+        # normalize the slack operator per block: |lambda| grows with
+        # rho, and an un-normalized f32 Lanczos sweep can overflow
+        # (eigenvalues rescale back exactly)
+        if bk.dense:
+            ws = jnp.maximum(jnp.max(jnp.abs(W), axis=(1, 2)), 1e-30)
+            Wn = W / ws[:, None, None]
+        elif bk.split:
+            W_d, W_o = W
+            ws = jnp.maximum(jnp.maximum(
+                jnp.max(jnp.abs(W_d), axis=1),
+                jnp.max(jnp.abs(W_o), axis=1)), 1e-30)
+            Wn = (W_d / ws[:, None], W_o / ws[:, None])
+        else:
+            ws = jnp.maximum(jnp.max(jnp.abs(W), axis=1), 1e-30)
+            Wn = W / ws[:, None]
+
+        def mv(x, bk=bk, Wn=Wn):
+            return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]
+
+        lams.append(lanczos_min_eig_device(mv, v0) * ws)
+    return lp_part, tuple(lams)
