@@ -670,12 +670,10 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
         max_alm_iter = params.max_alm_iter
     if not reopt:
         solver_ctx.max_alm_sub_iter = 5000
-    max_sub_iter_inc, max_sub_iter_ceil = 10000, 25000
     update_max_sub_counter = 0
     last_outer_start = 1
     rank_flag = 0
     rank_flag_thres = params.rank_flag_thres
-    rank_update_factor = 1.5
     if not reopt:
         rho_update_factor = params.alm_rho_factor
     rho_factor_flag = 0
@@ -683,7 +681,6 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
 
     constr_sum, grad, cert_val = alm_recompute(pd, R, dual, stats.rho)
     cert_val = float(cert_val)
-    cert_tol = 0.1 / stats.rho
 
     def finalize(action: str) -> ALMResult:
         pobj, dobj, total, pinf, gap = alm_obj_dimacs(pd, R, dual, scale_obj)

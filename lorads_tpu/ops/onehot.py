@@ -91,17 +91,17 @@ def _scatter_kernel(wb_ref, id0_ref, id1_ref, vh0_ref, vh1_ref,
                     vm0_ref, vm1_ref, vl0_ref, vl1_ref, o_ref, *,
                     CT: int, WT: int):
     i = pl.program_id(0)
-    segs = i * CT + jax.lax.broadcasted_iota(jnp.int32, (CT, 2 * WT), 0)
-    idw = jnp.concatenate([id0_ref[:], id1_ref[:]], axis=1)
-    oh = (segs == idw.reshape(1, 2 * WT)).astype(jnp.bfloat16)
+    segs = i * CT + jax.lax.broadcasted_iota(jnp.int32, (CT, WT), 0)
+    oh0 = (segs == id0_ref[:].reshape(1, WT)).astype(jnp.bfloat16)
+    oh1 = (segs == id1_ref[:].reshape(1, WT)).astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
     acc = None
-    for v0, v1 in ((vh0_ref, vh1_ref), (vm0_ref, vm1_ref),
-                   (vl0_ref, vl1_ref)):
-        vw = jnp.concatenate([v0[:], v1[:]], axis=0)
-        part = jax.lax.dot_general(oh, vw, dn,
-                                   preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
+    for oh, refs in ((oh0, (vh0_ref, vm0_ref, vl0_ref)),
+                     (oh1, (vh1_ref, vm1_ref, vl1_ref))):
+        for v in refs:
+            part = jax.lax.dot_general(
+                oh, v[:], dn, preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
     o_ref[:] = acc
 
 
