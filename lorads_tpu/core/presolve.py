@@ -105,23 +105,31 @@ def plan_block(idx: int, blk: SDPBlockData, params: LoradsParams,
         pat_rows = (uniq_key // n).astype(np.int32)
         pat_cols = (uniq_key % n).astype(np.int32)
 
-    # map (row,col) key -> pattern slot
-    pos_of = {int(k): i for i, k in enumerate(uniq_key)}
+    # map (row,col) key -> pattern slot.  Dense mode stores the packed
+    # lower triangle sorted by (col,row); sparse mode keeps np.unique's
+    # sorted keys — both support vectorized searchsorted lookups.
+    if dense:
+        key_order = np.argsort(uniq_key, kind="stable")
+        sorted_keys = uniq_key[key_order]
+
+        def pos_lookup(keys):
+            return key_order[np.searchsorted(sorted_keys, keys)] \
+                .astype(np.int32)
+    else:
+        def pos_lookup(keys):
+            return np.searchsorted(uniq_key, keys).astype(np.int32)
 
     c_pat = np.zeros(K, dtype=np.float64)
-    for r, c, v in zip(blk.obj_row, blk.obj_col, blk.obj_val):
-        c_pat[pos_of[int(r) * n + int(c)]] += v
+    if blk.obj_row.size:
+        obj_keys = blk.obj_row.astype(np.int64) * n + blk.obj_col
+        np.add.at(c_pat, pos_lookup(obj_keys), blk.obj_val)
 
     # --- compact constraint slots (lorads_sdp_conic.c:191-223) ---
     loc2glob = np.unique(blk.a_con).astype(np.int32)
     m_loc = loc2glob.size
-    glob2loc = {int(g): i for i, g in enumerate(loc2glob)}
-
-    a_con_loc = np.array([glob2loc[int(g)] for g in blk.a_con],
-                         dtype=np.int32)
-    a_pos = np.array(
-        [pos_of[int(r) * n + int(c)] for r, c in zip(blk.a_row, blk.a_col)],
-        dtype=np.int32)
+    a_con_loc = np.searchsorted(loc2glob, blk.a_con).astype(np.int32)
+    a_keys = blk.a_row.astype(np.int64) * n + blk.a_col
+    a_pos = pos_lookup(a_keys) if a_keys.size else np.zeros(0, np.int32)
 
     # --- rank policy (lorads_solver.c:290-319) ---
     nnz_rows = m_loc
@@ -215,18 +223,22 @@ def bucketize(plans: List[BlockPlan], m: int,
         for b, p in enumerate(ps):
             dims[b] = p.dim
             if p.dense and p.dim < n:
-                # re-plan the pattern on the padded triangle
+                # re-plan the pattern on the padded triangle; slot of
+                # (r, c) in the (col,row)-sorted lower triangle is
+                # c*n - c(c-1)/2 + (r - c)
                 pr, pc = _full_tri(n)
-                pos_of = {int(r) * n + int(c): i
-                          for i, (r, c) in enumerate(zip(pr, pc))}
+
+                def tri_slot(rr, cc):
+                    rr = rr.astype(np.int64)
+                    cc = cc.astype(np.int64)
+                    return (cc * n - cc * (cc - 1) // 2
+                            + (rr - cc)).astype(np.int32)
+
                 pat_rows[b], pat_cols[b] = pr, pc
                 cp = np.zeros(K)
-                for r, c, v in zip(p.pat_rows, p.pat_cols, p.c_pat):
-                    cp[pos_of[int(r) * n + int(c)]] = v
+                cp[tri_slot(p.pat_rows, p.pat_cols)] = p.c_pat
                 c_pat[b] = cp
-                apos = np.array(
-                    [pos_of[int(p.pat_rows[q]) * n + int(p.pat_cols[q])]
-                     for q in p.a_pos], dtype=np.int32)
+                apos = tri_slot(p.pat_rows[p.a_pos], p.pat_cols[p.a_pos])
             else:
                 pat_rows[b, :p.K] = p.pat_rows
                 pat_cols[b, :p.K] = p.pat_cols
