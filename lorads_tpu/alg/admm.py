@@ -58,7 +58,7 @@ class ADMMStats:
 
 def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
                         fixed_var, local_vals, constr_sum, dual, rho,
-                        cg_tol, cg_max, fcache=None):
+                        cg_tol, cg_max, fcache=None, s_term=None):
     """One side of the splitting for one bucket: solve for U with V
     fixed (LORADSUpdateSDPVarOne, lorads_admm.c:428-480).
 
@@ -81,6 +81,10 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
     if fcache is None:
         fcache = pat.gather_cache(bk, fixed_var)
     M2 = pat.w_mul_cached(bk, W, fixed_var, fcache) - rho * fixed_var
+    if s_term is not None:
+        # DUAL_U_V variant: M2 +/- S (LORADSRkMatSub_{positive,
+        # negative}_S, lorads_admm.c:401-420); the caller signs S
+        M2 = M2 + s_term
     rhs = -M2 / rho
 
     def op(x):
@@ -104,9 +108,10 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
 
 
 def _update_lp_var(pd: ProblemData, upd, fixed, lp_contrib, constr_sum,
-                   dual, rho):
+                   dual, rho, s_lp=None):
     """Closed-form LP column updates, Jacobi over columns
-    (LORADSUpdateLPVarOne, lorads_admm.c:595-628).
+    (LORADSUpdateLPVarOne, lorads_admm.c:595-628; the DUAL_U_V
+    variant's signed s enters m2, lorads_admm.c:658-660).
 
     lp_contrib is the cached A_lp(diag(u v)) m-vector.
     """
@@ -120,6 +125,8 @@ def _update_lp_var(pd: ProblemData, upd, fixed, lp_contrib, constr_sum,
     corr = rho * lpd.col_nrm2sq * upd * fixed
     wsum = lpd.obj + base - corr
     m2 = wsum * fixed - rho * fixed
+    if s_lp is not None:
+        m2 = m2 + s_lp
     blin = -m2 / rho
     new = blin / (1.0 + lpd.col_nrm2sq * fixed * fixed)
     new_contrib = lp_ops.constr_vals(lpd, new * fixed)
@@ -129,29 +136,31 @@ def _update_lp_var(pd: ProblemData, upd, fixed, lp_contrib, constr_sum,
 
 def _update_sdp_var_bucket_gs(pd: ProblemData, bk: pat.BucketData,
                               upd, fixed, local_vals, constr_sum, dual,
-                              rho, cg_tol, cg_max):
+                              rho, cg_tol, cg_max, s=None):
     """Sequential Gauss-Seidel over the blocks of one bucket via
     lax.scan — exact reference sweep semantics
     (lorads_alg_common.c:190-214) at the cost of serializing the
     bucket's blocks.  Updates one side (U with V fixed)."""
 
     def step(csum, xs):
-        bk_b, u_b, v_b, loc_b = xs
+        bk_b, u_b, v_b, loc_b, s_b = xs
         bk1 = jax.tree.map(lambda x: x[None], bk_b)
         u1, loc1, csum1, it, _ = _update_sdp_var_one(
             pd, bk1, u_b[None], v_b[None], loc_b[None], csum, dual,
-            rho, cg_tol, cg_max)
+            rho, cg_tol, cg_max,
+            s_term=s_b[None] if s is not None else None)
         return csum1, (u1[0], loc1[0], it)
 
+    s_arr = s if s is not None else jnp.zeros_like(upd)
     csum, (u_new, loc_new, iters) = jax.lax.scan(
-        step, constr_sum, (bk, upd, fixed, local_vals))
+        step, constr_sum, (bk, upd, fixed, local_vals, s_arr))
     return u_new, loc_new, csum, jnp.sum(iters, dtype=jnp.int32), None
 
 
 def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
                     locals_: Tuple, lp_contrib, constr_sum, dual, rho,
                     cg_tol, cg_max, jacobi: bool = False,
-                    u_caches=None, v_caches=None):
+                    u_caches=None, v_caches=None, S: FactorVec = None):
     """One sweep over buckets (U then V each), then LP.
 
     Reference: LORADSUpdateSDPVar / LORADSUpdateSDPLPVar
@@ -172,30 +181,37 @@ def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
     cg_total = jnp.zeros((), jnp.int32)
     for j, bk in enumerate(pd.buckets):
         simple = jacobi or bk.B == 1
+        s_j = S.cones[j] if S is not None else None
         if simple:
             u_new, loc, constr_sum, it1, uc = _update_sdp_var_one(
                 pd, bk, u_cones[j], v_cones[j], locals_[j], constr_sum,
-                dual, rho, cg_tol, cg_max, fcache=v_caches[j])
+                dual, rho, cg_tol, cg_max, fcache=v_caches[j],
+                s_term=s_j)
             v_new, loc, constr_sum, it2, vc = _update_sdp_var_one(
                 pd, bk, v_cones[j], u_new, loc, constr_sum,
-                dual, rho, cg_tol, cg_max, fcache=uc)
+                dual, rho, cg_tol, cg_max, fcache=uc,
+                s_term=(-s_j if s_j is not None else None))
         else:
             u_new, loc, constr_sum, it1, uc = _update_sdp_var_bucket_gs(
                 pd, bk, u_cones[j], v_cones[j], locals_[j], constr_sum,
-                dual, rho, cg_tol, cg_max)
+                dual, rho, cg_tol, cg_max, s=s_j)
             v_new, loc, constr_sum, it2, vc = _update_sdp_var_bucket_gs(
                 pd, bk, v_cones[j], u_new, loc, constr_sum,
-                dual, rho, cg_tol, cg_max)
+                dual, rho, cg_tol, cg_max,
+                s=(-s_j if s_j is not None else None))
         u_cones[j], v_cones[j] = u_new, v_new
         u_caches[j], v_caches[j] = uc, vc
         locals_[j] = loc
         cg_total = cg_total + it1 + it2
     lp_u, lp_v = U.lp, V.lp
     if pd.lp is not None:
+        s_lp = S.lp if S is not None else None
         lp_u, lp_contrib, constr_sum = _update_lp_var(
-            pd, lp_u, lp_v, lp_contrib, constr_sum, dual, rho)
+            pd, lp_u, lp_v, lp_contrib, constr_sum, dual, rho,
+            s_lp=s_lp)
         lp_v, lp_contrib, constr_sum = _update_lp_var(
-            pd, lp_v, lp_u, lp_contrib, constr_sum, dual, rho)
+            pd, lp_v, lp_u, lp_contrib, constr_sum, dual, rho,
+            s_lp=(-s_lp if s_lp is not None else None))
     return (FactorVec(tuple(u_cones), lp_u),
             FactorVec(tuple(v_cones), lp_v),
             tuple(locals_), lp_contrib, constr_sum, cg_total,
@@ -246,13 +262,15 @@ def make_admm_chunk(params, reopt: bool):
     cg_tol_mult = 1e-4 if reopt else 1e-2
     bad_pd_limit = 200 if reopt else 800
     jacobi = getattr(params, "admm_jacobi", False)
+    dual_uv = getattr(params, "dual_uv", False)
     escape_pow = float(rho_factor ** round(
         math.log(rho_freq * 100) / math.log(rho_freq)))
 
     def chunk(pd: ProblemData, U, V, locals_, lp_contrib, constr_sum,
               dual, rho, cur_rho_max, pinf_buf, old_pinf_mean, bad_pd,
               it, pinf_l1_0, gap_0, pobj0, dobj0, scale, iter_celling,
-              n_steps, best_gap0, since_best0):
+              n_steps, best_gap0, since_best0, S=None):
+        S_used = S if dual_uv else None
 
         def pinf_l1_conv(pinf_l1, pinf_inf):
             if reopt:
@@ -271,7 +289,7 @@ def make_admm_chunk(params, reopt: bool):
                     pd, c["U"], c["V"], c["locals"], c["lp_contrib"],
                     c["constr_sum"], c["dual"], c["rho"], cg_tol, 800,
                     jacobi=jacobi, u_caches=c["u_caches"],
-                    v_caches=c["v_caches"])
+                    v_caches=c["v_caches"], S=S_used)
             pobj, dobj, pinf, gap, locals__, lpc, csum = _obj_dimacs_xbar(
                 pd, U_, V_, c["dual"], scale, ucs, vcs)
             pinf_inf = pinf * (1.0 + pd.b_nrm1) / (1.0 + pd.b_nrm_inf)

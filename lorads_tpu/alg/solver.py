@@ -131,6 +131,14 @@ class LoradsSolver:
         self.R = self._rand_fv()
         self.U = self._rand_fv()
         self.V = self._rand_fv()
+        # DUAL_U_V consensus terms: SDP blocks zero-initialized, LP
+        # columns random, exactly as the reference allocates them
+        # (lorads_solver.c:659-667 / 588-606); never updated.
+        n_lp = self.problem.n_lp_cols
+        self.S = FactorVec(
+            tuple(jnp.zeros_like(x) for x in self.R.cones),
+            jnp.asarray(self._rng.random(n_lp) - self._rng.random(n_lp),
+                        dtype=self.dtype))
         self.dual = jnp.zeros((self.m,), dtype=self.dtype)
         self.hist = make_history(self.R, self.params.lbfgs_list_length)
 
@@ -170,6 +178,10 @@ class LoradsSolver:
                                  in zip(self.U.cones, new_ranks)), self.U.lp)
         self.V = FactorVec(tuple(self._pad_cols(x, nr) for x, nr
                                  in zip(self.V.cones, new_ranks)), self.V.lp)
+        self.S = FactorVec(
+            tuple(jnp.zeros(x.shape[:2] + (nr,), x.dtype)
+                  .at[:, :, :x.shape[2]].set(x)
+                  for x, nr in zip(self.S.cones, new_ranks)), self.S.lp)
         self.ranks = new_ranks
         self.hist = make_history(self.R, self.params.lbfgs_list_length)
         return self.is_rank_max()
@@ -321,7 +333,8 @@ class LoradsSolver:
                            jnp.asarray(iter_celling, jnp.int32),
                            jnp.asarray(self.params.device_chunk_iters,
                                        jnp.int32),
-                           carry["best_gap"], carry["since_best"])
+                           carry["best_gap"], carry["since_best"],
+                           self.S)
             carry = dict(
                 U=out["U"], V=out["V"], locals_=out["locals"],
                 lp_contrib=out["lp_contrib"], constr_sum=out["constr_sum"],
@@ -398,6 +411,7 @@ class LoradsSolver:
             lambda x: x.astype(jnp.float64)
             if hasattr(x, "astype") and x.dtype == jnp.float32 else x, t)
         self.R, self.U, self.V = up(self.R), up(self.U), up(self.V)
+        self.S = up(self.S)
         self.dual = self.dual.astype(jnp.float64)
         self.hist = make_history(self.R, self.params.lbfgs_list_length)
         return True

@@ -76,6 +76,10 @@ class LoradsParams:
     sparse_cone_threshold: float = 0.3   # lorads.h:13
     n_devices: Optional[int] = None  # None -> all local devices
     admm_jacobi: bool = False        # Jacobi within multi-block buckets
+    # reference compile-time DUAL_U_V feature define (lorads_admm.c:483-591):
+    # +/-S consensus terms in the ADMM subproblems; S stays at its
+    # initial value exactly as the shipped reference never updates it
+    dual_uv: bool = False
     fix_init_point: bool = False     # deterministic all-ones init
                                      # (FIX_INI_POINT, lorads_solver.c:441)
     checkpoint_path: Optional[str] = None  # save state at phase boundaries

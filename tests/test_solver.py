@@ -195,3 +195,16 @@ def test_single_constraint_problem():
     res = _solve(problem)
     assert res.pinf_l1 <= 1e-5
     assert res.pobj == pytest.approx(1.0, abs=1e-3)
+
+
+def test_dual_uv_variant():
+    """DUAL_U_V build variant (+/-S ADMM terms, reference
+    lorads_admm.c:483-591) solves to the same tolerances."""
+    from lorads_tpu.io import generators
+    problem = generators.random_multiblock(n_blocks=2, dim=15, m=12,
+                                           n_lp=4, seed=9)
+    res = LoradsSolver(problem, LoradsParams(verbose=False,
+                                             dual_uv=True)).solve()
+    assert res.status in (SolverStatus.PRIMAL_DUAL_OPTIMAL,
+                          SolverStatus.PRIMAL_OPTIMAL)
+    assert res.pinf_l1 <= 1e-5
