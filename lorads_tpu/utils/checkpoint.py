@@ -41,6 +41,7 @@ def save_checkpoint(path: str, solver, alm_stats=None, admm_stats=None,
     _pack_fv("R", solver.R, arrays)
     _pack_fv("U", solver.U, arrays)
     _pack_fv("V", solver.V, arrays)
+    _pack_fv("S", solver.S, arrays)
     arrays["dual"] = np.asarray(solver.dual)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
@@ -86,6 +87,8 @@ def load_checkpoint(path: str, solver) -> dict:
     solver.R = _unpack_fv("R", data, n_cones, solver.dtype)
     solver.U = _unpack_fv("U", data, n_cones, solver.dtype)
     solver.V = _unpack_fv("V", data, n_cones, solver.dtype)
+    if "S_lp" in data:
+        solver.S = _unpack_fv("S", data, n_cones, solver.dtype)
     solver.dual = jnp.asarray(data["dual"], dtype=solver.dtype)
     solver.scale_obj_his = meta["scale_obj_his"]
     solver.rho_max = meta["rho_max"]
