@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reoptLevel", type=int, default=2)
     p.add_argument("--dyrankLevel", type=int, default=2)
     p.add_argument("--highAccMode", type=int, default=0)
+    p.add_argument("--shard", choices=["off", "auto", "dp"],
+                   default="off",
+                   help="multi-device block data parallelism")
     p.add_argument("--dualUV", type=int, default=0,
                    help="DUAL_U_V build variant: +/-S terms in the "
                         "ADMM subproblems")
@@ -96,7 +99,7 @@ def main(argv=None) -> int:
         end_tau_tol=args.endTauTol, end_alm_sub_tol=args.endALMSubTol,
         l2_rescaling=bool(args.l2Rescaling), reopt_level=args.reoptLevel,
         dyrank_level=args.dyrankLevel, high_acc_mode=bool(args.highAccMode),
-        dual_uv=bool(args.dualUV),
+        dual_uv=bool(args.dualUV), shard=args.shard,
         dtype=args.dtype, seed=args.seed, verbose=not args.quiet,
         checkpoint_path=args.checkpoint, trace_dir=args.traceDir)
 

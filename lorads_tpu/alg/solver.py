@@ -89,8 +89,67 @@ class LoradsSolver:
         self.log = print if self.params.verbose else (lambda *a, **k: None)
         self._rng = np.random.default_rng(self.params.seed)
         self._init_vars()
+        self.mesh = None
+        self._maybe_shard()
         self._admm_chunk = admm_mod.make_admm_chunk(self.params, False)
         self._admm_chunk_reopt = admm_mod.make_admm_chunk(self.params, True)
+
+    # ------------------------------------------------------------------
+    # Multi-device placement (no reference counterpart; SURVEY.md §2
+    # parallelism inventory).
+    # ------------------------------------------------------------------
+
+    def _maybe_shard(self):
+        """Place bucket data + factors over all devices (block-axis
+        data parallelism).
+
+        shard="auto": activates when >1 device is visible and at least
+        one bucket's block axis divides the device count; buckets that
+        don't divide stay replicated.  The solver's jitted programs
+        then run under GSPMD, with XLA inserting the constraint-vector
+        reductions as collectives over ICI — the communication pattern
+        validated by parallel/sharded.py's shard_map building blocks.
+        """
+        mode = getattr(self.params, "shard", "off")
+        if mode == "off":
+            return
+        devs = jax.devices()
+        nd = len(devs)
+        if nd < 2:
+            return
+        shardable = [bp.B % nd == 0 and bp.B >= nd
+                     for bp in self.ps.buckets]
+        if mode == "auto" and not any(shardable):
+            return
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        self.mesh = Mesh(np.array(devs), ("blk",))
+        repl = NamedSharding(self.mesh, P())
+        row = NamedSharding(self.mesh, P("blk"))
+
+        def put(tree_, sharded: bool):
+            def leaf(x):
+                if not hasattr(x, "ndim"):
+                    return x
+                s = row if (sharded and x.ndim >= 1) else repl
+                return jax.device_put(x, s)
+            return jax.tree.map(leaf, tree_)
+
+        buckets = tuple(put(bk, ok)
+                        for bk, ok in zip(self.pd.buckets, shardable))
+        self.pd = dataclasses.replace(
+            self.pd, buckets=buckets,
+            rhs=jax.device_put(self.pd.rhs, repl))
+        for name in ("R", "U", "V", "S"):
+            fv = getattr(self, name)
+            setattr(self, name, FactorVec(
+                tuple(jax.device_put(x, row if ok else repl)
+                      for x, ok in zip(fv.cones, shardable)),
+                jax.device_put(fv.lp, repl)))
+        self.dual = jax.device_put(self.dual, repl)
+        self.hist = make_history(self.R, self.params.lbfgs_list_length)
+        self.log(f"sharding: {nd}-device mesh, buckets "
+                 f"{[i for i, ok in enumerate(shardable) if ok]} "
+                 f"block-sharded")
 
     # ------------------------------------------------------------------
     # Variables.
@@ -414,6 +473,8 @@ class LoradsSolver:
         self.S = up(self.S)
         self.dual = self.dual.astype(jnp.float64)
         self.hist = make_history(self.R, self.params.lbfgs_list_length)
+        if self.mesh is not None:
+            self._maybe_shard()   # re-place the rebuilt f64 arrays
         return True
 
     # ------------------------------------------------------------------

@@ -80,6 +80,10 @@ class LoradsParams:
     # +/-S consensus terms in the ADMM subproblems; S stays at its
     # initial value exactly as the shipped reference never updates it
     dual_uv: bool = False
+    # multi-device placement: "off" | "auto" | "dp" (block-axis data
+    # parallelism over all visible devices; GSPMD partitions the
+    # solver's jitted programs)
+    shard: str = "off"
     fix_init_point: bool = False     # deterministic all-ones init
                                      # (FIX_INI_POINT, lorads_solver.c:441)
     checkpoint_path: Optional[str] = None  # save state at phase boundaries

@@ -108,3 +108,18 @@ def test_pattern_sharded_gradient_matches(eight_devices):
     np.testing.assert_allclose(np.asarray(grad_s),
                                np.asarray(grad.cones[0][0]),
                                rtol=1e-9, atol=1e-10)
+
+
+def test_sharded_full_solve_matches(eight_devices):
+    """End-to-end solve with block-axis GSPMD sharding (params.shard)
+    reaches the same optimum as the unsharded solver."""
+    problem = generators.random_multiblock(n_blocks=8, dim=14, m=12,
+                                           seed=6)
+    p0 = LoradsParams(verbose=False)
+    r0 = LoradsSolver(problem, p0).solve()
+    p1 = LoradsParams(verbose=False, shard="dp")
+    s1 = LoradsSolver(problem, p1)
+    assert s1.mesh is not None
+    r1 = s1.solve()
+    assert r1.pinf_l1 <= 1e-5 and r1.gap <= 5e-5
+    assert abs(r1.pobj - r0.pobj) <= 1e-4 * (1 + abs(r0.pobj))
