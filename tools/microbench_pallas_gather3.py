@@ -11,6 +11,14 @@ sorted ids) in the same layout.
 Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/microbench_pallas_gather3.py
 """
 
+import os as _os
+import jax as _jax
+_cache = _os.path.join(_os.path.expanduser("~"), ".cache", "lorads_tpu_xla")
+_os.makedirs(_cache, exist_ok=True)
+_jax.config.update("jax_compilation_cache_dir", _cache)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 import time
 
 import jax
