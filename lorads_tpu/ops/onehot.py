@@ -1,37 +1,44 @@
-"""One-hot MXU window scatter: segment-sum with sorted ids as matmuls.
+"""One-hot MXU window kernels: sorted segment-sum / sorted row-gather
+as dense matmuls.
 
-TPU has no fast scatter; XLA's segment-sum runs at ~20 ns/row.  When
-the segment ids are SORTED, the rows feeding any CT-wide output tile
-live in one contiguous window of the input, so the segment-sum tiles
-into dense one-hot matmuls
+TPU has no fast scatter or gather: XLA lowers both to ~20 ns/row
+scalar-issue loops.  But when the ids are SORTED, the rows feeding any
+CT-wide output tile (scatter) — or the source rows feeding any
+KT-wide tile of gathered output (gather) — live in one contiguous
+window of the other operand.  The reduction then tiles into dense
+one-hot matmuls
 
-    out[tile of CT segments, r] = onehot[CT, WT] @ vals[window of WT, r]
+    scatter:  out[CT seg tile, r] = onehot[W2, CT]^T-contraction vals[W2, r]
+    gather:   out[KT id tile, r]  = onehot[KT, W2] @ X[W2 window, r]
 
-with onehot generated on the fly from an iota comparison (VPU) and the
-products running on the MXU — no dynamic indexing except the
-per-tile window offset, which rides Pallas scalar prefetch.
+with the one-hot generated on the fly from an iota comparison (VPU)
+and the products on the MXU.  The per-tile window offset rides Pallas
+scalar prefetch; every dynamic block offset is on the SUBLANE axis and
+the ids array is laid out [K, 1] (sublane-major) — the combination the
+Mosaic compiler accepts (lane-axis multi-window offsets on
+multi-sublane arrays crash it; see tools/microbench_gather5/6.py).
 
-Precision: the one-hot factor is exactly representable in bf16, and
-bf16 x bf16 products accumulate in f32, so splitting vals into three
-bf16 planes (hi/mid/lo, together carrying f32's 24-bit mantissa) makes
-the matmul path as accurate as a plain f32 summation at 3 MXU passes
-(HIGHEST-precision f32 would cost 6).
+Precision: the one-hot factor is exactly representable in bf16 and
+bf16 x bf16 accumulates in f32, so splitting the value operand into
+bf16 planes (hi/mid/lo carrying f32's 24-bit mantissa, computed
+in-kernel from the f32 window) reproduces exact-f32 products in 3 MXU
+passes ("bf16x3"); "bf16x2" (~2^-16 relative) and plain f32 HIGHEST
+are also offered.
 
 The reference computes the same reductions serially
-(/root/reference/src_semi/data/lorads_sdp_data.c:491-504 row axpys);
+(/root/reference/src_semi/data/lorads_sdp_data.c:491-587 row axpys);
 this is their TPU-native formulation.
 
-Constraints (checked by the planner, with XLA segment-sum fallback):
+Constraints (checked by the planner, XLA fallback otherwise):
   * ids sorted and within [0, n); one block (no batch axis);
-  * max rows per window <= WT (skewed segments fall back);
-  * n, WT multiples of 128; WT covers window + 128 alignment slack.
+  * scatter: no CT consecutive segments draw from > WT input rows;
+  * gather: no KT consecutive ids span beyond a 2*WT aligned window.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,113 +52,211 @@ def _ru(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
-class ScatterPlan:
-    """Host-side plan for one sorted-scatter shape."""
+class WindowPlan:
+    """Host-built window plan for one sorted-id shape.
 
-    n_pad: int          # padded segment count (multiple of CT)
-    K_pad: int          # padded id/value length (multiple of WT)
-    CT: int             # output tile (segments per grid step)
-    WT: int             # input window per tile
-    wblock: np.ndarray  # int32 [n_pad // CT] window block index
-    ok: bool            # windows fit; pallas path usable
+    ``wblock`` (device int32 [n_tiles]) holds the WT-unit window block
+    index each output tile reads (it and its successor: coverage 2*WT).
+    """
+
+    ok: bool = dataclasses.field(metadata=dict(static=True))
+    kind: str = dataclasses.field(metadata=dict(static=True))  # scatter|gather
+    n: int = dataclasses.field(metadata=dict(static=True))     # segment space
+    K: int = dataclasses.field(metadata=dict(static=True))     # id count
+    CT: int = dataclasses.field(metadata=dict(static=True))    # out tile
+    WT: int = dataclasses.field(metadata=dict(static=True))    # window unit
+    n_pad: int = dataclasses.field(metadata=dict(static=True))
+    K_pad: int = dataclasses.field(metadata=dict(static=True))
+    wblock: jnp.ndarray = None
+    ids_pad: jnp.ndarray = None   # int32 [K_pad, 1] padded sorted ids
+
+
+_BAD = WindowPlan(ok=False, kind="none", n=0, K=0, CT=0, WT=0,
+                  n_pad=0, K_pad=0)
+
+_MAX_WT = 1 << 14   # 16K-row window = 2 x 8 MB f32 @ r=128; VMEM bound
 
 
 def plan_sorted_scatter(ids: np.ndarray, n: int, CT: int = 256,
-                        WT: int = 2048) -> ScatterPlan:
-    """Build the window plan for sorted ids (host, once per problem).
+                        WT: int = 0) -> WindowPlan:
+    """Plan segment_sum(vals[K, r], sorted ids) -> [n, r].
 
-    Each output tile reads TWO consecutive WT-blocks of the input
-    (window granularity WT, coverage 2*WT), so the plan holds whenever
-    no CT segments span more than WT input rows."""
+    Output tiles cover CT segments; WT=0 picks the smallest power-of-2
+    window covering the worst tile (min 512)."""
     ids = np.asarray(ids)
+    K = int(ids.size)
+    if K == 0 or np.any(np.diff(ids) < 0):
+        return _BAD
     n_pad = _ru(max(n, CT), CT)
     nt = n_pad // CT
     starts = np.searchsorted(ids, np.arange(nt) * CT)
     ends = np.searchsorted(ids, np.arange(nt) * CT + CT)
-    ok = bool(np.all(ends - starts <= WT)) if ids.size else True
-    wblock = (starts // WT).astype(np.int32)
-    # one spare block so wblock+1 is always a valid second window
-    K_pad = _ru(max(int(ids.size), 1), WT) + WT
-    wblock = np.minimum(wblock, K_pad // WT - 2).astype(np.int32)
-    return ScatterPlan(n_pad=n_pad, K_pad=K_pad, CT=CT, WT=WT,
-                       wblock=wblock, ok=ok)
+    span = int((ends - starts).max()) if nt else 0
+    if WT == 0:
+        WT = 512
+        while WT < span:
+            WT *= 2
+    if span > WT or WT > _MAX_WT:
+        return _BAD
+    K_pad = _ru(K, WT) + WT          # spare block: wblock+1 always valid
+    wblock = np.minimum(starts // WT, K_pad // WT - 2).astype(np.int32)
+    ids_pad = np.full((K_pad, 1), n_pad + 7, np.int32)
+    ids_pad[:K, 0] = ids
+    return WindowPlan(ok=True, kind="scatter", n=n, K=K, CT=CT, WT=WT,
+                      n_pad=n_pad, K_pad=K_pad,
+                      wblock=jnp.asarray(wblock),
+                      ids_pad=jnp.asarray(ids_pad))
 
 
-def _pad_ids(ids: jnp.ndarray, plan: ScatterPlan, n: int) -> jnp.ndarray:
-    K = ids.shape[0]
-    if K == plan.K_pad:
-        return ids
-    # padding ids point past every segment so they never match
-    return jnp.concatenate(
-        [ids, jnp.full((plan.K_pad - K,), plan.n_pad + 7, ids.dtype)])
+def plan_sorted_gather(ids: np.ndarray, n: int, KT: int = 256,
+                       WT: int = 0) -> WindowPlan:
+    """Plan X[n, r][ids] -> [K, r] for sorted ids.
+
+    Output tiles cover KT consecutive ids; the 2*WT window (aligned to
+    WT) must cover the span of source rows those ids touch."""
+    ids = np.asarray(ids)
+    K = int(ids.size)
+    if K == 0 or np.any(np.diff(ids) < 0) or int(ids.max()) >= n:
+        return _BAD
+    K_pad = _ru(K, KT)
+    nt = K_pad // KT
+    firsts = ids[np.minimum(np.arange(nt) * KT, K - 1)]
+    lasts = ids[np.minimum((np.arange(nt) + 1) * KT - 1, K - 1)]
+    if WT == 0:
+        WT = 512
+        while WT <= _MAX_WT and not np.all(lasts < (firsts // WT + 2) * WT):
+            WT *= 2
+    if WT > _MAX_WT or not np.all(lasts < (firsts // WT + 2) * WT):
+        return _BAD
+    n_pad = _ru(n, WT) + WT
+    wblock = np.minimum(firsts // WT, n_pad // WT - 2).astype(np.int32)
+    ids_pad = np.full((K_pad, 1), n_pad + 7, np.int32)
+    ids_pad[:K, 0] = ids
+    return WindowPlan(ok=True, kind="gather", n=n, K=K, CT=KT, WT=WT,
+                      n_pad=n_pad, K_pad=K_pad,
+                      wblock=jnp.asarray(wblock),
+                      ids_pad=jnp.asarray(ids_pad))
 
 
-def _scatter_kernel(wb_ref, id0_ref, id1_ref, vh0_ref, vh1_ref,
-                    vm0_ref, vm1_ref, vl0_ref, vl1_ref, o_ref, *,
-                    CT: int, WT: int):
-    i = pl.program_id(0)
-    segs = i * CT + jax.lax.broadcasted_iota(jnp.int32, (CT, WT), 0)
-    oh0 = (segs == id0_ref[:].reshape(1, WT)).astype(jnp.bfloat16)
-    oh1 = (segs == id1_ref[:].reshape(1, WT)).astype(jnp.bfloat16)
-    dn = (((1,), (0,)), ((), ()))
-    acc = None
-    for oh, refs in ((oh0, (vh0_ref, vm0_ref, vl0_ref)),
-                     (oh1, (vh1_ref, vm1_ref, vl1_ref))):
-        for v in refs:
-            part = jax.lax.dot_general(
-                oh, v[:], dn, preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
-    o_ref[:] = acc
-
-
-def _split3(v: jnp.ndarray):
-    """f32 -> three bf16 planes whose sum reproduces the f32 mantissa."""
+def _planes(v: jnp.ndarray, mode: str):
+    """In-kernel f32 -> bf16 plane split (exact mantissa recomposition)."""
+    if mode == "f32":
+        return (v,)
     hi = v.astype(jnp.bfloat16)
     rem = v - hi.astype(jnp.float32)
+    if mode == "bf16x2":
+        return hi, rem.astype(jnp.bfloat16)
     mid = rem.astype(jnp.bfloat16)
     lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, mid, lo
 
 
-def sorted_scatter(vals: jnp.ndarray, ids: jnp.ndarray, n: int,
-                   plan: ScatterPlan, interpret: bool = False
+def _dot_planes(oh_bool, v, dn, mode):
+    """Sum of one-hot matmuls over the value planes (f32 accumulate)."""
+    if mode == "f32":
+        oh = oh_bool.astype(jnp.float32)
+        return jax.lax.dot_general(oh, v, dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    oh = oh_bool.astype(jnp.bfloat16)
+    acc = None
+    for p in _planes(v, mode):
+        part = jax.lax.dot_general(oh, p, dn,
+                                   preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _scatter_kernel(wb_ref, id0, id1, v0, v1, o_ref, *, CT, WT, mode):
+    i = pl.program_id(0)
+    W2 = 2 * WT
+    ids = jnp.concatenate([id0[:], id1[:]], axis=0)            # (W2, 1)
+    v = jnp.concatenate([v0[:], v1[:]], axis=0)                # (W2, r)
+    segs = i * CT + jax.lax.broadcasted_iota(jnp.int32, (W2, CT), 1)
+    dn = (((0,), (0,)), ((), ()))                              # (CT, r)
+    o_ref[:] = _dot_planes(ids == segs, v, dn, mode)
+
+
+def sorted_scatter(vals: jnp.ndarray, plan: WindowPlan,
+                   mode: str = "bf16x3", interpret: bool = False
                    ) -> jnp.ndarray:
-    """segment_sum(vals [K, r], sorted ids [K]) -> [n, r] via one-hot
-    MXU window matmuls.  Falls back to XLA segment-sum when the plan
-    rejected the shape."""
-    if not plan.ok:
-        return jax.ops.segment_sum(vals, ids, num_segments=n,
-                                   indices_are_sorted=True)
+    """segment_sum(vals [K, r], plan.ids) -> [plan.n, r].
+
+    The ids live in the plan (static per problem).  Callers must check
+    ``plan.ok`` and fall back to XLA segment-sum themselves."""
+    assert plan.ok and plan.kind == "scatter"
     K, r = vals.shape
+    out_dtype = vals.dtype
     CT, WT = plan.CT, plan.WT
-    ids_p = _pad_ids(ids.astype(jnp.int32), plan, n)
+    vals = vals.astype(jnp.float32)
     if K != plan.K_pad:
         vals = jnp.concatenate(
-            [vals, jnp.zeros((plan.K_pad - K, r), vals.dtype)])
-    vh, vm, vl = _split3(vals)
+            [vals, jnp.zeros((plan.K_pad - K, r), jnp.float32)])
     nt = plan.n_pad // CT
-
-    id_spec0 = pl.BlockSpec((1, WT), lambda i, wb: (0, wb[i]),
-                            memory_space=pltpu.VMEM)
-    id_spec1 = pl.BlockSpec((1, WT), lambda i, wb: (0, wb[i] + 1),
-                            memory_space=pltpu.VMEM)
-    v_spec0 = pl.BlockSpec((WT, r), lambda i, wb: (wb[i], 0),
-                           memory_space=pltpu.VMEM)
-    v_spec1 = pl.BlockSpec((WT, r), lambda i, wb: (wb[i] + 1, 0),
-                           memory_space=pltpu.VMEM)
+    w_spec0 = lambda i, wb: (wb[i], 0)
+    w_spec1 = lambda i, wb: (wb[i] + 1, 0)
     out = pl.pallas_call(
-        functools.partial(_scatter_kernel, CT=CT, WT=WT),
+        functools.partial(_scatter_kernel, CT=CT, WT=WT, mode=mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt,),
-            in_specs=[id_spec0, id_spec1, v_spec0, v_spec1,
-                      v_spec0, v_spec1, v_spec0, v_spec1],
+            in_specs=[
+                pl.BlockSpec((WT, 1), w_spec0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((WT, 1), w_spec1, memory_space=pltpu.VMEM),
+                pl.BlockSpec((WT, r), w_spec0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((WT, r), w_spec1, memory_space=pltpu.VMEM),
+            ],
             out_specs=pl.BlockSpec((CT, r), lambda i, wb: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((plan.n_pad, r), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(plan.wblock), ids_p[None, :], ids_p[None, :],
-      vh, vh, vm, vm, vl, vl)
-    return out[:n].astype(vals.dtype)
+    )(plan.wblock, plan.ids_pad, plan.ids_pad, vals, vals)
+    return out[: plan.n].astype(out_dtype)
+
+
+def _gather_kernel(wb_ref, ids, v0, v1, o_ref, *, KT, WT, mode):
+    i = pl.program_id(0)
+    W2 = 2 * WT
+    wstart = wb_ref[i] * WT
+    X = jnp.concatenate([v0[:], v1[:]], axis=0)                # (W2, r)
+    rows = wstart + jax.lax.broadcasted_iota(jnp.int32, (KT, W2), 1)
+    dn = (((1,), (0,)), ((), ()))                              # (KT, r)
+    o_ref[:] = _dot_planes(ids[:] == rows, X, dn, mode)
+
+
+def sorted_gather(X: jnp.ndarray, plan: WindowPlan,
+                  mode: str = "bf16x3", interpret: bool = False
+                  ) -> jnp.ndarray:
+    """X[n, r] rows at plan.ids (sorted) -> [plan.K, r]."""
+    assert plan.ok and plan.kind == "gather"
+    n, r = X.shape
+    out_dtype = X.dtype
+    KT, WT = plan.CT, plan.WT
+    X = X.astype(jnp.float32)
+    if n != plan.n_pad:
+        X = jnp.concatenate(
+            [X, jnp.zeros((plan.n_pad - n, r), jnp.float32)])
+    nt = plan.K_pad // KT
+    w_spec0 = lambda i, wb: (wb[i], 0)
+    w_spec1 = lambda i, wb: (wb[i] + 1, 0)
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, KT=KT, WT=WT, mode=mode),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((KT, 1), lambda i, wb: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((WT, r), w_spec0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((WT, r), w_spec1, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((KT, r), lambda i, wb: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan.K_pad, r), jnp.float32),
+        interpret=interpret,
+    )(plan.wblock, plan.ids_pad, X, X)
+    return out[: plan.K].astype(out_dtype)
