@@ -98,8 +98,8 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
     if new_cache is None:
         uv = pat.uvt(bk, new_var, fixed_var)
     else:
-        nr, nc = new_cache
-        fr, fc = fcache
+        nr, nc = new_cache[0], new_cache[1]
+        fr, fc = fcache[0], fcache[1]
         uv = (jnp.sum(new_var * fixed_var, -1),
               0.5 * (jnp.sum(nr * fc, -1) + jnp.sum(nc * fr, -1)))
     new_local = pat.constr_vals(bk, uv)
@@ -232,7 +232,7 @@ def _obj_dimacs_xbar(pd: ProblemData, U: FactorVec, V: FactorVec, dual,
     if u_caches is not None and v_caches is not None:
         xcaches = tuple(
             None if (uc is None or vc is None)
-            else (0.5 * (uc[0] + vc[0]), 0.5 * (uc[1] + vc[1]))
+            else tuple(0.5 * (u + v) for u, v in zip(uc, vc))
             for uc, vc in zip(u_caches, v_caches))
         xcaches = tuple(
             pat.gather_cache(bk, Rb) if xc is None else xc

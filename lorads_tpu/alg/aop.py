@@ -178,7 +178,7 @@ def gather_caches(pd: ProblemData, R: FactorVec):
 def axpy_caches(caches, t, dcaches):
     """caches + t * dcaches, None entries passed through."""
     return tuple(
-        c if c is None else (c[0] + t * d[0], c[1] + t * d[1])
+        c if c is None else tuple(ci + t * di for ci, di in zip(c, d))
         for c, d in zip(caches, dcaches))
 
 

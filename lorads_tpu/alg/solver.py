@@ -725,11 +725,12 @@ def _dual_infeas_device(pd, dual, v0s):
             ws = jnp.maximum(jnp.max(jnp.abs(W), axis=(1, 2)), 1e-30)
             Wn = W / ws[:, None, None]
         elif bk.split:
-            W_d, W_o = W
+            W_d, W_o, W_oc = W
             ws = jnp.maximum(jnp.maximum(
                 jnp.max(jnp.abs(W_d), axis=1),
                 jnp.max(jnp.abs(W_o), axis=1)), 1e-30)
-            Wn = (W_d / ws[:, None], W_o / ws[:, None])
+            Wn = (W_d / ws[:, None], W_o / ws[:, None],
+                  W_oc / ws[:, None])
         else:
             ws = jnp.maximum(jnp.max(jnp.abs(W), axis=1), 1e-30)
             Wn = W / ws[:, None]

@@ -128,7 +128,8 @@ def history_reset(hist: LBFGSHistory) -> LBFGSHistory:
     return dataclasses.replace(hist, n_valid=jnp.zeros((), jnp.int32))
 
 
-def lbfgs_direction(hist: LBFGSHistory, grad: FactorVec) -> FactorVec:
+def lbfgs_direction_twoloop(hist: LBFGSHistory,
+                            grad: FactorVec) -> FactorVec:
     """Two-loop recursion; D = -grad when no valid history.
 
     Reference: LBFGSDirection (lorads_alm.c:230-391).  Note the
@@ -162,3 +163,84 @@ def lbfgs_direction(hist: LBFGSHistory, grad: FactorVec) -> FactorVec:
     use_grad = fv_dot(d, grad) >= 0
     return jax.tree.map(
         lambda dd, gg: jnp.where(use_grad, -gg, dd), d, grad)
+
+
+def lbfgs_direction(hist: LBFGSHistory, grad: FactorVec) -> FactorVec:
+    """Compact-representation L-BFGS direction (Byrd-Nocedal form).
+
+    Mathematically identical to the two-loop recursion with H0 = I
+    (lbfgs_direction_twoloop / reference LBFGSDirection,
+    lorads_alm.c:230-391) but restructured for TPU latency: the 2L+1
+    sequential dot-then-axpy stages become ONE fused Gram reduction
+    over the stacked history, tiny L x L triangular solves, and one
+    linear combine.  With H0 = I:
+
+        H g = g + S w2 - Y w1,
+        w1 = R^{-1} S^T g,
+        w2 = R^{-T} [ (D + Y^T Y) w1 - Y^T g ],
+
+    R = chronological upper triangle of S^T Y, D = its diagonal
+    (Nocedal & Wright, eq. 7.24).  Invalid slots are masked to an
+    identity block so their contribution is exactly zero.
+    """
+    L = hist.length
+    dt = grad.lp.dtype
+
+    # one Gram pass: Z = [S_0..S_{L-1}, Y_0.., g], G = Z Z^T
+    # (leaves of hist.s/.y have leading axis L; grad has none)
+    s_parts = [x.reshape(L, -1) for x in hist.s.cones] + [
+        hist.s.lp.reshape(L, -1)]
+    y_parts = [x.reshape(L, -1) for x in hist.y.cones] + [
+        hist.y.lp.reshape(L, -1)]
+    g_parts = [x.reshape(1, -1) for x in grad.cones] + [
+        grad.lp.reshape(1, -1)]
+    G = jnp.zeros((2 * L + 1, 2 * L + 1), dt)
+    for sp, yp, gp in zip(s_parts, y_parts, g_parts):
+        Z = jnp.concatenate([sp, yp, gp], axis=0)
+        G = G + jax.lax.dot_general(
+            Z, Z, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dt)
+
+    # chronological slot order: oldest first
+    k = jnp.arange(L, dtype=jnp.int32)
+    ordr = (hist.head - hist.n_valid + k) % L
+    valid = (k < hist.n_valid).astype(dt)
+    si, yi = ordr, ordr + L
+    StY = G[si[:, None], yi[None, :]]                # s_i . y_j, chron
+    YtY = G[yi[:, None], yi[None, :]]
+    u = G[si, 2 * L] * valid                         # S^T g
+    v = G[yi, 2 * L] * valid                         # Y^T g
+    gg = G[2 * L, 2 * L]
+
+    mask2 = valid[:, None] * valid[None, :]
+    eye = jnp.eye(L, dtype=dt)
+    R = jnp.triu(StY) * mask2 + (1.0 - valid) * eye  # masked-identity
+    Dd = jnp.diagonal(StY) * valid + (1.0 - valid)
+    YtY = YtY * mask2
+
+    w1 = jax.scipy.linalg.solve_triangular(R, u, lower=False)
+    br = (Dd * w1 + YtY @ w1 - v) * valid
+    w2 = jax.scipy.linalg.solve_triangular(R, br, lower=False,
+                                           trans=1)
+    w1 = w1 * valid
+    w2 = w2 * valid
+
+    # scatter chron coefficients back to slot order and combine
+    cs = jnp.zeros((L,), dt).at[ordr].set(w2)
+    cy = jnp.zeros((L,), dt).at[ordr].set(-w1)
+    d_cones = tuple(
+        -(g + jnp.einsum("l,l...->...", cs, s)
+          + jnp.einsum("l,l...->...", cy, y))
+        for g, s, y in zip(grad.cones, hist.s.cones, hist.y.cones))
+    d_lp = -(grad.lp + jnp.einsum("l,l...->...", cs, hist.s.lp)
+             + jnp.einsum("l,l...->...", cy, hist.y.lp))
+
+    # descent safeguard via the small quantities:
+    # <d, g> = -(g.g + u.w2 - v.w1)
+    dg = -(gg + jnp.vdot(u, w2) - jnp.vdot(v, w1))
+    bad = (dg >= 0) | ~jnp.isfinite(dg)
+    return FactorVec(
+        tuple(jnp.where(bad, -g, d)
+              for g, d in zip(grad.cones, d_cones)),
+        jnp.where(bad, -grad.lp, d_lp))

@@ -164,7 +164,25 @@ class BucketData:
     a_row_d_s: jnp.ndarray = None     # diag entries sorted by row
     a_val_d_s: jnp.ndarray = None
     a_con_d_s: jnp.ndarray = None
+    # ---- column-sorted mirror of the off pattern ----
+    # TPU scatters at unsorted ids run at random-access latency
+    # (~13-20 ns/row) while sorted ids ride locality; the upper-half
+    # scatter of W @ X (via off_cols) is the single hottest op in both
+    # the ALM gradient and the ADMM CG matvec.  The mirror gives it
+    # sorted ids: maintain a third cache X[off_rows_cp] (col-order) and
+    # scatter W_o_co * that at off_cols_sp.  W's off values in
+    # col-order come from statically remapped constraint-entry indices
+    # (a_pos_o_co_s), never a runtime permutation.
+    off_col_perm: jnp.ndarray = None  # int32 [B, Ko] argsort(off_cols)
+    off_cols_sp: jnp.ndarray = None   # int32 [B, Ko] sorted cols
+    off_rows_cp: jnp.ndarray = None   # int32 [B, Ko] rows in col-order
+    c_off_cp: jnp.ndarray = None      # [B, Ko] C off values, col-order
+    a_pos_o_co_s: jnp.ndarray = None  # int32 [B, nnz_o] col-order slots
+    a_con_o_co_s: jnp.ndarray = None  # int32 [B, nnz_o]
+    a_val_o_co_s: jnp.ndarray = None  # [B, nnz_o]
     # sortedness promises for the split arrays
+    off_rows_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
     off_cols_sorted: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
     a_con_d_sorted: bool = dataclasses.field(
@@ -249,9 +267,19 @@ def _build_split_fields(bp: BucketPlan, dtype) -> dict:
     rp = np.argsort(off_rows, axis=1, kind="stable")
     rd = np.argsort(a_row_d, axis=1, kind="stable")
 
+    # column-sorted mirror (see BucketData comment).  Padding slots
+    # (beyond each block's true Ko) carry col 0 / row 0 / value 0 and
+    # sort to the front; scattering zeros there is harmless.
+    cp = np.argsort(off_cols, axis=1, kind="stable")
+    ta = np.take_along_axis
+    inv_cp = np.empty_like(cp)
+    np.put_along_axis(inv_cp, cp, np.broadcast_to(
+        np.arange(Ko, dtype=cp.dtype), cp.shape).copy(), axis=1)
+    a_pos_o_co = ta(inv_cp, a_pos_o, 1)
+    pco = np.argsort(a_pos_o_co, axis=1, kind="stable")
+
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
-    ta = np.take_along_axis
     return dict(
         split=True, diag_ident=bool(ident), Ko=Ko, nnz_d=nnz_d,
         nnz_o=nnz_o,
@@ -271,6 +299,14 @@ def _build_split_fields(bp: BucketPlan, dtype) -> dict:
         a_row_d_s=i32(ta(a_row_d, rd, 1)),
         a_val_d_s=f(ta(a_val_d, rd, 1)),
         a_con_d_s=i32(ta(a_con_d, rd, 1)),
+        off_col_perm=i32(cp),
+        off_cols_sp=i32(ta(off_cols, cp, 1)),
+        off_rows_cp=i32(ta(off_rows, cp, 1)),
+        c_off_cp=f(ta(c_off, cp, 1)),
+        a_pos_o_co_s=i32(ta(a_pos_o_co, pco, 1)),
+        a_con_o_co_s=i32(ta(a_con_o, pco, 1)),
+        a_val_o_co_s=f(ta(a_val_o, pco, 1)),
+        off_rows_sorted=_rows_sorted(off_rows),
         off_cols_sorted=_rows_sorted(off_cols),
         a_con_d_sorted=_rows_sorted(a_con_d),
         a_con_o_sorted=_rows_sorted(a_con_o),
@@ -527,11 +563,18 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
             wa_o = jnp.take_along_axis(w_loc, bk.a_con_o_s, axis=1)
             W_o = batched_segment_sum(bk.a_val_o_s * wa_o, bk.a_pos_o_s,
                                       bk.Ko, sorted_ids=True)
+            # col-order copy via statically remapped entry indices —
+            # a second small sorted scatter, not a runtime permutation
+            wa_oc = jnp.take_along_axis(w_loc, bk.a_con_o_co_s, axis=1)
+            W_oc = batched_segment_sum(
+                bk.a_val_o_co_s * wa_oc, bk.a_pos_o_co_s, bk.Ko,
+                sorted_ids=True)
         else:
             W_o = jnp.zeros((bk.B, bk.Ko), dtype=w_loc.dtype)
+            W_oc = W_o
         if include_obj:
-            return bk.c_diag + W_d, bk.c_off + W_o
-        return W_d, W_o
+            return bk.c_diag + W_d, bk.c_off + W_o, bk.c_off_cp + W_oc
+        return W_d, W_o, W_oc
     # entries pre-permuted to pattern-slot order: the scatter is sorted
     wa_s = jnp.take_along_axis(w_loc, bk.a_con_loc_s, axis=1)
     W = batched_segment_sum(bk.a_val_s * wa_s, bk.a_pos_s, bk.K,
@@ -549,20 +592,20 @@ def w_mul(bk: BucketData, W, X: jnp.ndarray) -> jnp.ndarray:
                           preferred_element_type=X.dtype,
                           precision=jax.lax.Precision.HIGHEST)
     if bk.split:
-        W_d, W_o = W
+        W_d, W_o, W_oc = W
         out = W_d[:, :, None] * X
         if bk.has_off:
             # lower pass in row-sorted order (a [Ko] gather of W_o buys
-            # a sorted scatter); upper pass is column-sorted already
+            # a sorted scatter); upper pass rides the col-order mirror
             W_rp = jnp.take_along_axis(W_o, bk.off_row_perm, axis=1)
             xc_rp = take_rows(X, bk.off_cols_rp)
             out = out + batched_segment_sum(
                 W_rp[:, :, None] * xc_rp, bk.off_rows_s, bk.n,
                 sorted_ids=True)
-            xr = take_rows(X, bk.off_rows)
+            xr_cp = take_rows(X, bk.off_rows_cp)
             out = out + batched_segment_sum(
-                W_o[:, :, None] * xr, bk.off_cols, bk.n,
-                sorted_ids=bk.off_cols_sorted)
+                W_oc[:, :, None] * xr_cp, bk.off_cols_sp, bk.n,
+                sorted_ids=True)
         return out
     # lower pass in row-sorted order (one extra [K] gather of W buys
     # a sorted scatter); upper pass is already column-sorted
@@ -595,17 +638,20 @@ def auv_into_global(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 def gather_cache(bk: BucketData, X: jnp.ndarray):
-    """(X[off_rows], X[off_cols]) for split buckets, else None."""
+    """(X[off_rows], X[off_cols], X[off_rows_cp]) for split buckets,
+    else None.  The third entry is the col-order mirror consumed by
+    w_mul_cached's sorted upper-half scatter."""
     if bk.dense or not bk.split or not bk.has_off:
         return None
-    return take_rows(X, bk.off_rows), take_rows(X, bk.off_cols)
+    return (take_rows(X, bk.off_rows), take_rows(X, bk.off_cols),
+            take_rows(X, bk.off_rows_cp))
 
 
 def uvt_from_cache(bk: BucketData, R: jnp.ndarray, cache):
     """sym(RR^T) pattern values from the cache (no gathers)."""
     if cache is None:
         return uvt(bk, R, R)
-    Rr, Rc = cache
+    Rr, Rc = cache[0], cache[1]
     return jnp.sum(R * R, -1), jnp.sum(Rr * Rc, -1)
 
 
@@ -615,14 +661,15 @@ def uvt_pair_cached(bk: BucketData, R: jnp.ndarray, D: jnp.ndarray,
     d_cache holds D's gathered rows for the caller's cache update."""
     if cache is None:
         return uvt_pair(bk, R, D), None
-    Rr, Rc = cache
+    Rr, Rc = cache[0], cache[1]
     Dr = take_rows(D, bk.off_rows)
     Dc = take_rows(D, bk.off_cols)
+    Dr_cp = take_rows(D, bk.off_rows_cp)
     rd_d = jnp.sum(R * D, -1)
     dd_d = jnp.sum(D * D, -1)
     rd_o = 0.5 * (jnp.sum(Rr * Dc, -1) + jnp.sum(Rc * Dr, -1))
     dd_o = jnp.sum(Dr * Dc, -1)
-    return ((rd_d, rd_o), (dd_d, dd_o)), (Dr, Dc)
+    return ((rd_d, rd_o), (dd_d, dd_o)), (Dr, Dc, Dr_cp)
 
 
 def uvt_half_cached(bk: BucketData, X: jnp.ndarray, F: jnp.ndarray,
@@ -631,7 +678,7 @@ def uvt_half_cached(bk: BucketData, X: jnp.ndarray, F: jnp.ndarray,
     fixed factor is constant across the whole CG solve)."""
     if fcache is None:
         return uvt(bk, X, F)
-    Fr, Fc = fcache
+    Fr, Fc = fcache[0], fcache[1]
     Xr = take_rows(X, bk.off_rows)
     Xc = take_rows(X, bk.off_cols)
     d = jnp.sum(X * F, -1)
@@ -642,16 +689,19 @@ def uvt_half_cached(bk: BucketData, X: jnp.ndarray, F: jnp.ndarray,
 def w_mul_cached(bk: BucketData, W, X: jnp.ndarray, cache) -> jnp.ndarray:
     """w_mul consuming the cache instead of gathering X's rows.
 
-    Uses unsorted scatters (measured: the sorted-scatter promise does
-    not change TPU segment-sum cost, and the cache holds the
-    unpermuted order)."""
+    Both scatters run at SORTED ids: the lower pass via off_rows
+    (pattern order is row-sorted for every presolve-built pattern) and
+    the upper pass via the col-order mirror (off_cols_sp + cache[2]).
+    Unsorted TPU scatters run ~50x slower (random-access latency),
+    measured in tools/profile_alm_bisect.py."""
     if cache is None:
         return w_mul(bk, W, X)
-    W_d, W_o = W
+    W_d, W_o, W_oc = W
     out = W_d[:, :, None] * X
-    Xr, Xc = cache
+    Xr, Xc, Xr_cp = cache
     out = out + batched_segment_sum(W_o[:, :, None] * Xc, bk.off_rows,
-                                    bk.n)
-    out = out + batched_segment_sum(W_o[:, :, None] * Xr, bk.off_cols,
-                                    bk.n, sorted_ids=bk.off_cols_sorted)
+                                    bk.n, sorted_ids=bk.off_rows_sorted)
+    out = out + batched_segment_sum(W_oc[:, :, None] * Xr_cp,
+                                    bk.off_cols_sp, bk.n,
+                                    sorted_ids=True)
     return out

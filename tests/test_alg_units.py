@@ -191,3 +191,23 @@ def test_lanczos_min_eig_batched():
     v0 = jnp.asarray(rng.standard_normal((B, n)))
     lams = np.asarray(lanczos_min_eig(mv, v0, k=30, restarts=3))
     np.testing.assert_allclose(lams, expect, rtol=1e-2, atol=1e-3)
+
+
+def test_lbfgs_compact_matches_twoloop():
+    """Compact-representation direction == two-loop recursion."""
+    import jax.numpy as jnp
+    from lorads_tpu.alg import state as st
+    rng = np.random.default_rng(11)
+    fv = lambda: st.FactorVec(
+        (jnp.asarray(rng.standard_normal((1, 12, 4))),),
+        jnp.asarray(rng.standard_normal(3)))
+    for n_push in (0, 1, 2, 3, 5):
+        hist = st.make_history(fv(), 3)
+        for _ in range(n_push):
+            hist = st.history_push(hist, fv(), fv())
+        g = fv()
+        d1 = st.lbfgs_direction_twoloop(hist, g)
+        d2 = st.lbfgs_direction(hist, g)
+        for a, b in zip(jax.tree.leaves(d1), jax.tree.leaves(d2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-10)

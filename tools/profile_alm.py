@@ -48,7 +48,9 @@ def main():
             jnp.asarray(0.0, dt), jnp.asarray(0.0, dt),
             jnp.asarray(1e-16, dt), jnp.asarray(0.0, dt),
             jnp.asarray(False), jnp.asarray(max_local, jnp.int32))
-        jax.block_until_ready(out[0].cones[0])
+        # force a real host transfer: block_until_ready does not
+        # reliably sync on the axon remote backend
+        jax.device_get(out[4]["cert_val"])
         return out
 
     for max_local in (50, 100, 200, 400):

@@ -87,16 +87,20 @@ def main():
     grad = jax.jit(aop.grad)(pd, R, w)
 
     def timed(flags):
+        # block_until_ready does not reliably sync on the axon remote
+        # backend: force a host transfer (float()) to time for real
         ts = []
         for n_iter in (64, 192):
-            f = lambda: run_loop(pd, R, grad, hist, dual, constr_sum,
-                                 rho, flags, n_iter)
-            jax.block_until_ready(f())
+            f = lambda eps: run_loop(pd, R.scale(1.0 + eps), grad, hist,
+                                     dual, constr_sum, rho, flags,
+                                     n_iter)
+            float(f(0.0))
             t0 = time.time()
-            for _ in range(3):
-                out = f()
-            jax.block_until_ready(out)
+            for i in range(3):
+                float(f(1e-7 * (i + 1)))
             ts.append((time.time() - t0) / 3)
+        print(f"    [{','.join(flags) or 'none'}] 64it={ts[0]:.3f}s "
+              f"192it={ts[1]:.3f}s", flush=True)
         return (ts[1] - ts[0]) / 128 * 1e3
 
     base = timed(ALL)

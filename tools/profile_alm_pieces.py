@@ -27,13 +27,21 @@ from lorads_tpu.alg.state import fv_norm2sq, history_push, lbfgs_direction
 from lorads_tpu.io import generators
 
 
+def _drain(out):
+    """Force real completion: block_until_ready does not reliably sync
+    on the axon remote backend, but a host transfer does (executions
+    are in-order per device, so draining the last drains all)."""
+    leaf = jax.tree.leaves(out)[0]
+    jax.device_get(leaf)
+
+
 def trial(name, fn, *args, reps=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     t0 = time.time()
-    for _ in range(reps):
+    for i in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     dt = (time.time() - t0) / reps
     print(f"{name:>40}: {dt * 1e6:9.1f} us", flush=True)
     return dt
