@@ -23,6 +23,7 @@ reference's log cadence, lorads_admm.c:139) between host round trips.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Tuple
 
@@ -250,19 +251,28 @@ def _obj_dimacs_xbar(pd: ProblemData, U: FactorVec, V: FactorVec, dual,
 
 
 def make_admm_chunk(params, reopt: bool):
-    """Build the jitted device loop for <=chunk ADMM iterations.
+    """Jitted device loop for <=chunk ADMM iterations, memoized on the
+    params fields it bakes in.
 
-    params fields are baked in statically (one compile per params set).
+    Memoization matters: a fresh ``jax.jit`` per LoradsSolver would
+    re-trace the whole phase graph (and re-deserialize it from the
+    persistent XLA cache) on every solver instance — ~1 s of host
+    overhead per solve on ADMM-heavy families, measured on matcomp500.
+    With the shared callable, repeat solves under the same params hit
+    the in-process jit cache directly.
     """
-    rho_freq = params.rho_freq
-    rho_factor = params.rho_factor
-    tol2 = params.phase2_tol
-    tol1 = params.phase1_tol
-    rho_celling = params.rho_celling_admm
+    return _make_admm_chunk(
+        params.rho_freq, params.rho_factor, params.phase2_tol,
+        params.phase1_tol, params.rho_celling_admm,
+        getattr(params, "admm_jacobi", False),
+        getattr(params, "dual_uv", False), bool(reopt))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
+                     jacobi, dual_uv, reopt):
     cg_tol_mult = 1e-4 if reopt else 1e-2
     bad_pd_limit = 200 if reopt else 800
-    jacobi = getattr(params, "admm_jacobi", False)
-    dual_uv = getattr(params, "dual_uv", False)
     escape_pow = float(rho_factor ** round(
         math.log(rho_freq * 100) / math.log(rho_freq)))
 
