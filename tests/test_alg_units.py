@@ -211,3 +211,20 @@ def test_lbfgs_compact_matches_twoloop():
         for a, b in zip(jax.tree.leaves(d1), jax.tree.leaves(d2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-9, atol=1e-10)
+
+
+def test_admm_chunk_memoized_across_solvers():
+    """Equal params must reuse the SAME jitted chunk callable: a fresh
+    jax.jit per solver re-traces the ADMM graph every solve (~1s host
+    overhead on ADMM-heavy families)."""
+    from lorads_tpu.alg import admm as admm_mod
+    from lorads_tpu.config import LoradsParams
+    p1 = LoradsParams(verbose=False)
+    p2 = LoradsParams(verbose=True)       # verbose is not baked in
+    assert admm_mod.make_admm_chunk(p1, False) is admm_mod.make_admm_chunk(
+        p2, False)
+    assert admm_mod.make_admm_chunk(p1, True) is admm_mod.make_admm_chunk(
+        p1, True)
+    p3 = LoradsParams(phase2_tol=3e-7)    # baked-in field -> new chunk
+    assert admm_mod.make_admm_chunk(p3, False) is not \
+        admm_mod.make_admm_chunk(p1, False)
