@@ -165,15 +165,23 @@ def lbfgs_direction_twoloop(hist: LBFGSHistory,
         lambda dd, gg: jnp.where(use_grad, -gg, dd), d, grad)
 
 
-def lbfgs_direction(hist: LBFGSHistory, grad: FactorVec) -> FactorVec:
+def lbfgs_direction_compact(hist: LBFGSHistory,
+                            grad: FactorVec) -> FactorVec:
     """Compact-representation L-BFGS direction (Byrd-Nocedal form).
 
-    Mathematically identical to the two-loop recursion with H0 = I
-    (lbfgs_direction_twoloop / reference LBFGSDirection,
-    lorads_alm.c:230-391) but restructured for TPU latency: the 2L+1
-    sequential dot-then-axpy stages become ONE fused Gram reduction
-    over the stacked history, tiny L x L triangular solves, and one
-    linear combine.  With H0 = I:
+    NOT the default: mathematically identical to the two-loop
+    recursion, but the Gram-matrix formulation squares the conditioning
+    of the history dots, and at float32 the accumulated difference
+    derails long trajectories (theta300: 34 s certified with two-loop
+    vs 58 s partial with this form) and is measurably SLOWER end-to-end
+    even on the headline (maxcut20000 2.78 s vs 2.52 s) — the fused
+    Gram matmul saves device time but costs iterations.  Kept as a
+    tested alternative for future layouts where the 2L+1 sequential
+    stages dominate.
+
+    The restructuring: the 2L+1 sequential dot-then-axpy stages become
+    ONE fused Gram reduction over the stacked history, tiny L x L
+    triangular solves, and one linear combine.  With H0 = I:
 
         H g = g + S w2 - Y w1,
         w1 = R^{-1} S^T g,
@@ -244,3 +252,8 @@ def lbfgs_direction(hist: LBFGSHistory, grad: FactorVec) -> FactorVec:
         tuple(jnp.where(bad, -g, d)
               for g, d in zip(grad.cones, d_cones)),
         jnp.where(bad, -grad.lp, d_lp))
+
+
+# Default direction: the two-loop recursion (reference parity, and the
+# faster + more f32-stable form end-to-end; see lbfgs_direction_compact).
+lbfgs_direction = lbfgs_direction_twoloop

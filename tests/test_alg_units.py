@@ -207,7 +207,7 @@ def test_lbfgs_compact_matches_twoloop():
             hist = st.history_push(hist, fv(), fv())
         g = fv()
         d1 = st.lbfgs_direction_twoloop(hist, g)
-        d2 = st.lbfgs_direction(hist, g)
+        d2 = st.lbfgs_direction_compact(hist, g)
         for a, b in zip(jax.tree.leaves(d1), jax.tree.leaves(d2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-9, atol=1e-10)
