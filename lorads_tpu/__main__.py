@@ -34,7 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--phase2Tol", type=float, default=1e-5)
     p.add_argument("--timeSecLimit", type=float, default=3600.0)
     p.add_argument("--heuristicFactor", type=float, default=1.0)
-    p.add_argument("--lbfgsListLength", type=int, default=2)
+    # reference default is 2; None -> structure-based auto (config.py)
+    p.add_argument("--lbfgsListLength", type=int, default=None)
     p.add_argument("--endTauTol", type=float, default=1e-16)
     p.add_argument("--endALMSubTol", type=float, default=1e-10)
     p.add_argument("--l2Rescaling", type=int, default=0)

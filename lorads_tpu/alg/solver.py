@@ -86,6 +86,15 @@ class LoradsSolver:
         self.rho_max = self.params.rho_max
         self.ranks = [bp.rank for bp in self.ps.buckets]
         self.rank_maxes = [bp.rank_max for bp in self.ps.buckets]
+        # None -> structure-based auto (see LoradsParams): large
+        # dense-mode blocks (the theta shape) need the short reference
+        # history; pure sparse-pattern problems run faster with 3.
+        self.lbfgs_len = self.params.lbfgs_list_length
+        if self.lbfgs_len is None:
+            big_dense = any(
+                bp.dense and bp.n > self.params.dense_dim_threshold
+                for bp in self.ps.buckets)
+            self.lbfgs_len = 2 if big_dense else 3
         self.log = print if self.params.verbose else (lambda *a, **k: None)
         self._rng = np.random.default_rng(self.params.seed)
         self._init_vars()
@@ -146,7 +155,7 @@ class LoradsSolver:
                       for x, ok in zip(fv.cones, shardable)),
                 jax.device_put(fv.lp, repl)))
         self.dual = jax.device_put(self.dual, repl)
-        self.hist = make_history(self.R, self.params.lbfgs_list_length)
+        self.hist = make_history(self.R, self.lbfgs_len)
         self.log(f"sharding: {nd}-device mesh, buckets "
                  f"{[i for i, ok in enumerate(shardable) if ok]} "
                  f"block-sharded")
@@ -199,7 +208,7 @@ class LoradsSolver:
             jnp.asarray(self._rng.random(n_lp) - self._rng.random(n_lp),
                         dtype=self.dtype))
         self.dual = jnp.zeros((self.m,), dtype=self.dtype)
-        self.hist = make_history(self.R, self.params.lbfgs_list_length)
+        self.hist = make_history(self.R, self.lbfgs_len)
 
     # ------------------------------------------------------------------
     # Dynamic rank augmentation (AUG_RANK, lorads_solver.c:806-906).
@@ -242,7 +251,7 @@ class LoradsSolver:
                   .at[:, :, :x.shape[2]].set(x)
                   for x, nr in zip(self.S.cones, new_ranks)), self.S.lp)
         self.ranks = new_ranks
-        self.hist = make_history(self.R, self.params.lbfgs_list_length)
+        self.hist = make_history(self.R, self.lbfgs_len)
         return self.is_rank_max()
 
     # ------------------------------------------------------------------
@@ -472,7 +481,7 @@ class LoradsSolver:
         self.R, self.U, self.V = up(self.R), up(self.U), up(self.V)
         self.S = up(self.S)
         self.dual = self.dual.astype(jnp.float64)
-        self.hist = make_history(self.R, self.params.lbfgs_list_length)
+        self.hist = make_history(self.R, self.lbfgs_len)
         if self.mesh is not None:
             self._maybe_shard()   # re-place the rebuilt f64 arrays
         return True

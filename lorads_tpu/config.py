@@ -53,12 +53,14 @@ class LoradsParams:
     phase2_tol: float = 1e-5
     time_sec_limit: float = 3600.0
     heuristic_factor: float = 1.0
-    # Reference default is 2 (main.c:31).  Deviation: 3 measured faster
-    # on TPU across families (maxcut n=2000 0.42s vs 1.08s, n=20000
-    # 2.23s vs 2.69s, matcomp500 1.86s vs 1.92s; theta300 11% slower
-    # but 3x better final gap) — the extra two-loop history costs only
-    # small VPU axpys while cutting inner iterations.
-    lbfgs_list_length: int = 3
+    # Reference default is 2 (main.c:31).  None -> auto: 3 for pure
+    # sparse-pattern problems (maxcut n=2000 0.42s vs 1.08s, n=20000
+    # 2.23s vs 2.69s, matcomp500 ~equal — the extra history costs only
+    # small VPU axpys while cutting inner iterations), but 2 when any
+    # large dense-mode block is present: on Lovász-theta the longer
+    # history derails the trajectory outright (theta800 84s certified
+    # at L=2 vs max_iter failure at L=3; theta300 34s vs 38s).
+    lbfgs_list_length: Optional[int] = None
     end_tau_tol: float = 1e-16
     end_alm_sub_tol: float = 1e-10
     l2_rescaling: bool = False       # parsed but unused in solve path (reference parity)

@@ -103,5 +103,5 @@ def load_checkpoint(path: str, solver) -> dict:
     if solver.scale_obj_his != 1.0:
         solver.pd = aop.build_problem_data(solver.ps, solver.dtype)
         solver.pd = aop.scale_objective(solver.pd, solver.scale_obj_his)
-    solver.hist = make_history(solver.R, solver.params.lbfgs_list_length)
+    solver.hist = make_history(solver.R, solver.lbfgs_len)
     return meta

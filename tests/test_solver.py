@@ -208,3 +208,17 @@ def test_dual_uv_variant():
     assert res.status in (SolverStatus.PRIMAL_DUAL_OPTIMAL,
                           SolverStatus.PRIMAL_OPTIMAL)
     assert res.pinf_l1 <= 1e-5
+
+
+def test_lbfgs_length_auto_by_structure():
+    """None -> 2 when a large dense-mode block is present (theta shape),
+    else 3; explicit value always wins (reference flag semantics)."""
+    from lorads_tpu import LoradsParams
+    from lorads_tpu.alg.solver import LoradsSolver
+    from lorads_tpu.io import generators
+    mc = generators.maxcut(n=100, avg_degree=5, seed=1)
+    th = generators.lovasz_theta(n=60, avg_degree=5, seed=1)
+    assert LoradsSolver(mc, LoradsParams(verbose=False)).lbfgs_len == 3
+    assert LoradsSolver(th, LoradsParams(verbose=False)).lbfgs_len == 2
+    assert LoradsSolver(
+        th, LoradsParams(verbose=False, lbfgs_list_length=5)).lbfgs_len == 5
