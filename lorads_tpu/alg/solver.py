@@ -609,7 +609,13 @@ class LoradsSolver:
             if st == "time_out":
                 status = SolverStatus.TIME_LIMIT
 
-        # reopt level 1 (main.c:376-398)
+        # reopt level 1 (main.c:376-398).  Escalation is deliberately
+        # eager: the f64 level-1 polish drives dual infeasibility to ~0
+        # as a side effect, so the (expensive) high-rho ALM work runs
+        # once here instead of again at level 2.  (Lazy f32-first
+        # escalation was measured WORSE on theta n=300: the f32 round
+        # fixes the gap but leaves dinf at 1.7e-4, and the deferred f64
+        # polish at level 2 costs the same, net +50%.)
         if status is SolverStatus.UNKNOWN and p.reopt_level >= 1:
             cnt = 0
             while ((alm_stats.gap > p.phase2_tol

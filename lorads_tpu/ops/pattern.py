@@ -31,15 +31,64 @@ import numpy as np
 from lorads_tpu.core.presolve import BucketPlan
 
 
+# f64 segment sums route through cumsum + static boundary gathers when
+# boundaries are available (see bounded_segment_sum).  Module switch
+# kept for experiments/ablations.
+CUMSUM_F64 = True
+
+
+def bounded_segment_sum(data: jnp.ndarray,
+                        bounds: jnp.ndarray) -> jnp.ndarray:
+    """Sorted segment sum as a difference of prefix sums.
+
+    ``data`` [B, N, ...] is ordered so that segment j occupies rows
+    [bounds[b, j], bounds[b, j+1]); ``bounds`` [B, S+1] is STATIC
+    (precomputed from the pattern at build time).  Then
+
+        csum = concat(0, cumsum(data, axis=1))
+        out[b, j] = csum[b, bounds[j+1]] - csum[b, bounds[j]]
+
+    — one cumsum + two gathers, no scatter.  This is the f64 fast path
+    on TPU: the f64 scatter-add runs ~18x slower than f32 (emulated
+    random-access adds), while cumsum vectorizes.  Error is
+    O(eps * |prefix|) per output — ~1e-16 * ||data||_1 at f64, far
+    below any tolerance here; at f32 that error model is WORSE than
+    the scatter's per-segment rounding, so f32 keeps the scatter.
+    """
+    cs = jnp.cumsum(data, axis=1)
+    cs = jnp.concatenate([jnp.zeros_like(cs[:, :1]), cs], axis=1)
+    idx = bounds
+    if data.ndim == 3:
+        idx = idx[:, :, None]
+    g = jnp.take_along_axis(cs, idx, axis=1)
+    return g[:, 1:] - g[:, :-1]
+
+
+def _use_bounds(data: jnp.ndarray, bounds) -> bool:
+    """The bounded path pays off iff the boundary gathers don't dwarf
+    the scatter it replaces: S+1 output gathers vs N scattered rows
+    (gathers are ~2x cheaper per row than scatters on TPU)."""
+    return (CUMSUM_F64 and bounds is not None
+            and data.dtype == jnp.float64
+            and bounds.shape[-1] <= 2 * data.shape[1] + 1)
+
+
 def batched_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
                         num_segments: int,
-                        sorted_ids: bool = False) -> jnp.ndarray:
+                        sorted_ids: bool = False,
+                        bounds=None) -> jnp.ndarray:
     """segment_sum along axis 1 of [B, N, ...] with ids [B, N].
 
     The block-offset trick keeps global sortedness whenever each
     block's ids are non-decreasing, letting XLA use its sorted-scatter
     fast path (pass sorted_ids=True then — it is a static promise).
+
+    ``bounds`` [B, num_segments+1]: static per-block segment boundary
+    indices (only valid for per-block-sorted ids); f64 data then takes
+    the scatter-free bounded_segment_sum path.
     """
+    if _use_bounds(data, bounds):
+        return bounded_segment_sum(data, bounds)
     B = data.shape[0]
     offset = (jnp.arange(B, dtype=ids.dtype) * num_segments)[:, None]
     flat_ids = (ids + offset).reshape(-1)
@@ -116,6 +165,23 @@ class BucketData:
     glob_sorted: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
 
+    # -- static segment boundaries for every sorted scatter --
+    # bnd_X [B, S+1] holds searchsorted(X_ids, 0..S) per block, so a
+    # sorted segment sum becomes cumsum + boundary-gather diffs
+    # (bounded_segment_sum) — the scatter-free path f64 data takes.
+    bnd_a_con: jnp.ndarray = None       # [B, m_loc+1]  (a_con_loc)
+    bnd_a_pos_s: jnp.ndarray = None     # [B, K+1]      (a_pos_s)
+    bnd_pat_rows_s: jnp.ndarray = None  # [B, n+1]      (pat_rows_s)
+    bnd_pat_cols: jnp.ndarray = None    # [B, n+1]      (pat_cols)
+    bnd_glob: jnp.ndarray = None        # [B, m_glob+2] (glob_idx)
+    # dense mode: statically sorted concat(a_lin, a_lin_t) scatter
+    a_lin2_perm: jnp.ndarray = None     # int32 [B, 2*nnz_a]
+    bnd_a_lin2: jnp.ndarray = None      # [B, n*n+1]
+    # every W slot receives at most ONE (statically) nonzero entry:
+    # the f64 build_w scatter can then run as two exact f32 planes
+    a_lin2_exact: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
     # ------------------------------------------------------------------
     # Diag/offdiag split (sparse mode only, split=True).
     #
@@ -189,10 +255,30 @@ class BucketData:
         default=False, metadata=dict(static=True))
     a_con_o_sorted: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # segment boundaries for the split-mode sorted scatters
+    bnd_a_con_d: jnp.ndarray = None      # [B, m_loc+1] (a_con_d)
+    bnd_a_con_o: jnp.ndarray = None      # [B, m_loc+1] (a_con_o)
+    bnd_a_row_d_s: jnp.ndarray = None    # [B, n+1]     (a_row_d_s)
+    bnd_a_pos_o_s: jnp.ndarray = None    # [B, Ko+1]    (a_pos_o_s)
+    bnd_a_pos_o_co_s: jnp.ndarray = None  # [B, Ko+1]   (a_pos_o_co_s)
+    bnd_off_rows: jnp.ndarray = None     # [B, n+1]     (off_rows)
+    bnd_off_rows_s: jnp.ndarray = None   # [B, n+1]     (off_rows_s)
+    bnd_off_cols_sp: jnp.ndarray = None  # [B, n+1]     (off_cols_sp)
 
 
 def _rows_sorted(x: np.ndarray) -> bool:
     return bool(np.all(np.diff(x, axis=1) >= 0)) if x.size else True
+
+
+def _bounds_np(ids: np.ndarray, S: int) -> jnp.ndarray:
+    """Static segment boundaries [B, S+1] of per-block-sorted ids:
+    bnd[b, j] = first position in ids[b] with value >= j."""
+    B = ids.shape[0]
+    out = np.zeros((B, S + 1), np.int32)
+    r = np.arange(S + 1)
+    for b in range(B):
+        out[b] = np.searchsorted(ids[b], r)
+    return jnp.asarray(out, jnp.int32)
 
 
 def _build_split_fields(bp: BucketPlan, dtype) -> dict:
@@ -310,6 +396,18 @@ def _build_split_fields(bp: BucketPlan, dtype) -> dict:
         off_cols_sorted=_rows_sorted(off_cols),
         a_con_d_sorted=_rows_sorted(a_con_d),
         a_con_o_sorted=_rows_sorted(a_con_o),
+        # segment boundaries for the f64 scatter-free path
+        bnd_a_con_d=(_bounds_np(a_con_d, bp.m_loc)
+                     if _rows_sorted(a_con_d) else None),
+        bnd_a_con_o=(_bounds_np(a_con_o, bp.m_loc)
+                     if _rows_sorted(a_con_o) else None),
+        bnd_a_row_d_s=_bounds_np(ta(a_row_d, rd, 1), n),
+        bnd_a_pos_o_s=_bounds_np(ta(a_pos_o, po, 1), Ko),
+        bnd_a_pos_o_co_s=_bounds_np(ta(a_pos_o_co, pco, 1), Ko),
+        bnd_off_rows=(_bounds_np(off_rows, n)
+                      if _rows_sorted(off_rows) else None),
+        bnd_off_rows_s=_bounds_np(ta(off_rows, rp, 1), n),
+        bnd_off_cols_sp=_bounds_np(ta(off_cols, cp, 1), n),
     )
 
 
@@ -325,6 +423,12 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
         pat_rows_sorted=_rows_sorted(bp.pat_rows),
         pat_cols_sorted=_rows_sorted(bp.pat_cols),
         glob_sorted=(B == 1) and _rows_sorted(bp.glob_idx),
+    )
+    common_bounds = dict(
+        bnd_a_con=(_bounds_np(bp.a_con_loc, bp.m_loc)
+                   if sort_flags["a_con_sorted"] else None),
+        bnd_glob=(_bounds_np(bp.glob_idx, m_glob + 1)
+                  if sort_flags["glob_sorted"] else None),
     )
     # static permutations making the remaining scatters sorted
     pperm = np.argsort(bp.a_pos, axis=1, kind="stable")
@@ -363,6 +467,18 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
                   np.where(is_diag, 0.0, bp.c_pat).ravel())
         z1 = np.zeros((B, 1))
         zi = np.zeros((B, 1), dtype=np.int32)
+        # statically sorted copy of the concat(a_lin, a_lin_t) scatter
+        lin2 = np.concatenate([a_lin, a_lin_t], axis=1)
+        lin2_perm = np.argsort(lin2, axis=1, kind="stable")
+        lin2_s = np.take_along_axis(lin2, lin2_perm, axis=1)
+        # exactness of the two-plane f32 W scatter: at most one
+        # (statically) nonzero entry per slot in every block
+        lin2_exact = True
+        for b in range(B):
+            keep = np.concatenate([bp.a_val[b] != 0.0,
+                                   a_val_mirror[b] != 0.0])
+            ids_nz = lin2[b][keep]
+            lin2_exact &= bool(np.unique(ids_nz).size == ids_nz.size)
         return BucketData(
             dense=True, n=n, K=K, nnz_a=bp.nnz_a, m_loc=bp.m_loc, B=B,
             m_glob=m_glob,
@@ -372,7 +488,10 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
             c_pat_inner=f(z1), pat_offdiag=f(z1), a_pos=i32(zi),
             a_lin=i32(a_lin), a_lin_t=i32(a_lin_t), a_val=f(bp.a_val),
             a_val_mirror=f(a_val_mirror), c_full=f(c_full),
-            **perms, **sort_flags,
+            a_lin2_perm=i32(lin2_perm),
+            bnd_a_lin2=_bounds_np(lin2_s, n * n),
+            a_lin2_exact=lin2_exact,
+            **perms, **sort_flags, **common_bounds,
         )
     z1 = np.zeros((B, 1))
     zi = np.zeros((B, 1), dtype=np.int32)
@@ -392,7 +511,7 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
             a_val_mirror=f(z1), c_full=f(np.zeros((B, 1, 1))),
             a_pos_s=i32(zi), a_con_loc_s=i32(zi), a_val_s=f(z1),
             row_perm=i32(zi), pat_rows_s=i32(zi), pat_cols_rp=i32(zi),
-            **sort_flags, **split_fields,
+            **sort_flags, **common_bounds, **split_fields,
         )
     return BucketData(
         dense=False, n=n, K=K, nnz_a=bp.nnz_a, m_loc=bp.m_loc, B=B,
@@ -404,7 +523,13 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
         pat_offdiag=f(np.where(is_diag, 0.0, 1.0)), a_pos=i32(bp.a_pos),
         a_lin=i32(zi), a_lin_t=i32(zi), a_val=f(bp.a_val),
         a_val_mirror=f(z1), c_full=f(np.zeros((B, 1, 1))),
-        **perms, **sort_flags,
+        bnd_a_pos_s=_bounds_np(
+            np.take_along_axis(bp.a_pos, pperm, 1), K),
+        bnd_pat_rows_s=_bounds_np(
+            np.take_along_axis(bp.pat_rows, rperm, 1), n),
+        bnd_pat_cols=(_bounds_np(bp.pat_cols, n)
+                      if sort_flags["pat_cols_sorted"] else None),
+        **perms, **sort_flags, **common_bounds,
     )
 
 
@@ -486,21 +611,24 @@ def constr_vals(bk: BucketData, uvt_val) -> jnp.ndarray:
     if bk.dense or not bk.split:
         contrib = bk.a_val_inner * _at_entries(bk, uvt_val)
         return batched_segment_sum(contrib, bk.a_con_loc, bk.m_loc,
-                                   sorted_ids=bk.a_con_sorted)
+                                   sorted_ids=bk.a_con_sorted,
+                                   bounds=bk.bnd_a_con)
     d, o = uvt_val
     if bk.diag_ident:
         vals = bk.a_val_d * d            # constraint i == diag entry i
     elif bk.has_diag_a:
         dg = jnp.take_along_axis(d, bk.a_row_d, axis=1) * bk.a_val_d
         vals = batched_segment_sum(dg, bk.a_con_d, bk.m_loc,
-                                   sorted_ids=bk.a_con_d_sorted)
+                                   sorted_ids=bk.a_con_d_sorted,
+                                   bounds=bk.bnd_a_con_d)
     else:
         vals = jnp.zeros((bk.B, bk.m_loc), dtype=d.dtype)
     if bk.has_off_a:
         og = jnp.take_along_axis(o, bk.a_pos_o, axis=1) * (
             2.0 * bk.a_val_o)
         vals = vals + batched_segment_sum(og, bk.a_con_o, bk.m_loc,
-                                          sorted_ids=bk.a_con_o_sorted)
+                                          sorted_ids=bk.a_con_o_sorted,
+                                          bounds=bk.bnd_a_con_o)
     return vals
 
 
@@ -523,6 +651,9 @@ def scatter_constr(bk: BucketData, vals: jnp.ndarray) -> jnp.ndarray:
     Reference: lorads_vec add / the sparse-cone rowIdx reposition
     (lorads_elements.c:7-37, lorads_admm.c:360-372).
     """
+    if _use_bounds(vals, bk.bnd_glob):
+        out = bounded_segment_sum(vals, bk.bnd_glob)  # [B, m_glob+1]
+        return jnp.sum(out, axis=0)[: bk.m_glob]
     flat = jax.ops.segment_sum(vals.reshape(-1), bk.glob_idx.reshape(-1),
                                num_segments=bk.m_glob + 1,
                                indices_are_sorted=bk.glob_sorted)
@@ -546,9 +677,26 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
     if bk.dense:
         wa = jnp.take_along_axis(w_loc, bk.a_con_loc, axis=1)
         n2 = bk.n * bk.n
-        pos = jnp.concatenate([bk.a_lin, bk.a_lin_t], axis=1)
         val = jnp.concatenate([bk.a_val * wa, bk.a_val_mirror * wa], axis=1)
-        W = batched_segment_sum(val, pos, n2).reshape(-1, bk.n, bk.n)
+        pos = jnp.concatenate([bk.a_lin, bk.a_lin_t], axis=1)
+        if (CUMSUM_F64 and val.dtype == jnp.float64 and bk.a_lin2_exact):
+            # each slot receives at most one nonzero entry, so the f64
+            # scatter (emulated, ~12x slower than f32 on TPU) can run
+            # as two EXACT f32 planes: hi = f32(v), lo = f32(v - hi);
+            # placement is exact, recombination error <= 2^-48 |v|
+            hi = val.astype(jnp.float32)
+            lo = (val - hi).astype(jnp.float32)
+            W = (batched_segment_sum(hi, pos, n2).astype(val.dtype)
+                 + batched_segment_sum(lo, pos, n2).astype(val.dtype))
+            W = W.reshape(-1, bk.n, bk.n)
+        elif _use_bounds(val, bk.bnd_a_lin2):
+            # statically sorted copy of the concat scatter: one gather
+            # at the static perm + the scatter-free bounded sum
+            val_s = jnp.take_along_axis(val, bk.a_lin2_perm, axis=1)
+            W = bounded_segment_sum(val_s, bk.bnd_a_lin2)
+            W = W.reshape(-1, bk.n, bk.n)
+        else:
+            W = batched_segment_sum(val, pos, n2).reshape(-1, bk.n, bk.n)
         return bk.c_full + W if include_obj else W
     if bk.split:
         if bk.diag_ident:
@@ -556,19 +704,21 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
         elif bk.has_diag_a:
             wa_d = jnp.take_along_axis(w_loc, bk.a_con_d_s, axis=1)
             W_d = batched_segment_sum(bk.a_val_d_s * wa_d, bk.a_row_d_s,
-                                      bk.n, sorted_ids=True)
+                                      bk.n, sorted_ids=True,
+                                      bounds=bk.bnd_a_row_d_s)
         else:
             W_d = jnp.zeros((bk.B, bk.n), dtype=w_loc.dtype)
         if bk.has_off_a:
             wa_o = jnp.take_along_axis(w_loc, bk.a_con_o_s, axis=1)
             W_o = batched_segment_sum(bk.a_val_o_s * wa_o, bk.a_pos_o_s,
-                                      bk.Ko, sorted_ids=True)
+                                      bk.Ko, sorted_ids=True,
+                                      bounds=bk.bnd_a_pos_o_s)
             # col-order copy via statically remapped entry indices —
             # a second small sorted scatter, not a runtime permutation
             wa_oc = jnp.take_along_axis(w_loc, bk.a_con_o_co_s, axis=1)
             W_oc = batched_segment_sum(
                 bk.a_val_o_co_s * wa_oc, bk.a_pos_o_co_s, bk.Ko,
-                sorted_ids=True)
+                sorted_ids=True, bounds=bk.bnd_a_pos_o_co_s)
         else:
             W_o = jnp.zeros((bk.B, bk.Ko), dtype=w_loc.dtype)
             W_oc = W_o
@@ -578,7 +728,7 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
     # entries pre-permuted to pattern-slot order: the scatter is sorted
     wa_s = jnp.take_along_axis(w_loc, bk.a_con_loc_s, axis=1)
     W = batched_segment_sum(bk.a_val_s * wa_s, bk.a_pos_s, bk.K,
-                            sorted_ids=True)
+                            sorted_ids=True, bounds=bk.bnd_a_pos_s)
     return bk.c_pat + W if include_obj else W
 
 
@@ -601,22 +751,23 @@ def w_mul(bk: BucketData, W, X: jnp.ndarray) -> jnp.ndarray:
             xc_rp = take_rows(X, bk.off_cols_rp)
             out = out + batched_segment_sum(
                 W_rp[:, :, None] * xc_rp, bk.off_rows_s, bk.n,
-                sorted_ids=True)
+                sorted_ids=True, bounds=bk.bnd_off_rows_s)
             xr_cp = take_rows(X, bk.off_rows_cp)
             out = out + batched_segment_sum(
                 W_oc[:, :, None] * xr_cp, bk.off_cols_sp, bk.n,
-                sorted_ids=True)
+                sorted_ids=True, bounds=bk.bnd_off_cols_sp)
         return out
     # lower pass in row-sorted order (one extra [K] gather of W buys
     # a sorted scatter); upper pass is already column-sorted
     W_rp = jnp.take_along_axis(W, bk.row_perm, axis=1)
     xc_rp = take_rows(X, bk.pat_cols_rp)
     lower = batched_segment_sum(W_rp[:, :, None] * xc_rp, bk.pat_rows_s,
-                                bk.n, sorted_ids=True)
+                                bk.n, sorted_ids=True,
+                                bounds=bk.bnd_pat_rows_s)
     xr = take_rows(X, bk.pat_rows)
     upper = batched_segment_sum(
         (W * bk.pat_offdiag)[:, :, None] * xr, bk.pat_cols, bk.n,
-        sorted_ids=bk.pat_cols_sorted)
+        sorted_ids=bk.pat_cols_sorted, bounds=bk.bnd_pat_cols)
     return lower + upper
 
 
@@ -700,8 +851,10 @@ def w_mul_cached(bk: BucketData, W, X: jnp.ndarray, cache) -> jnp.ndarray:
     out = W_d[:, :, None] * X
     Xr, Xc, Xr_cp = cache
     out = out + batched_segment_sum(W_o[:, :, None] * Xc, bk.off_rows,
-                                    bk.n, sorted_ids=bk.off_rows_sorted)
+                                    bk.n, sorted_ids=bk.off_rows_sorted,
+                                    bounds=bk.bnd_off_rows)
     out = out + batched_segment_sum(W_oc[:, :, None] * Xr_cp,
                                     bk.off_cols_sp, bk.n,
-                                    sorted_ids=True)
+                                    sorted_ids=True,
+                                    bounds=bk.bnd_off_cols_sp)
     return out

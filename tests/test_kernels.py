@@ -264,3 +264,73 @@ def test_onehot_skewed_fallback():
     # unsorted ids also refused
     plan2 = onehot.plan_sorted_gather(np.array([5, 3, 1]), 10)
     assert not plan2.ok
+
+
+def test_bounded_segment_sum_matches_scatter():
+    # the f64 scatter-free path (cumsum + static boundary gathers) must
+    # agree with the scatter segment sum on sorted ids, for 2D and 3D
+    # data and B>1
+    rng = np.random.default_rng(4)
+    B, K, S, r = 3, 50, 17, 5
+    ids = np.sort(rng.integers(0, S, (B, K)).astype(np.int32), axis=1)
+    bounds = pat._bounds_np(ids, S)
+    for shape in [(B, K), (B, K, r)]:
+        data = jnp.asarray(rng.standard_normal(shape))
+        ref = pat.batched_segment_sum(
+            data.astype(jnp.float32), jnp.asarray(ids), S,
+            sorted_ids=True)
+        got = pat.bounded_segment_sum(data.astype(jnp.float64), bounds)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        # f64 data routed through batched_segment_sum takes the bounded
+        # path (CUMSUM_F64 default on) and must match the f64 scatter
+        got2 = pat.batched_segment_sum(
+            data.astype(jnp.float64), jnp.asarray(ids), S,
+            sorted_ids=True, bounds=bounds)
+        prev = pat.CUMSUM_F64
+        try:
+            pat.CUMSUM_F64 = False
+            ref64 = pat.batched_segment_sum(
+                data.astype(jnp.float64), jnp.asarray(ids), S,
+                sorted_ids=True, bounds=bounds)
+        finally:
+            pat.CUMSUM_F64 = prev
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref64),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_f64_bounded_path_full_kernels_parity():
+    # whole-kernel parity: constr_vals / build_w / w_mul at f64 with the
+    # bounded path on vs off (scatter) on a sparse-mode instance
+    problem = generators.random_multiblock(n_blocks=2, dim=14, m=10,
+                                           seed=8)
+    ps, bks = _setup(problem, dense_threshold=1.1,
+                     dense_dim_threshold=0)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal(problem.m))
+    r = 3
+    for ib, (bp, bk) in enumerate(zip(ps.buckets, bks)):
+        U, V = _rand_factors(ps, ib, r, seed=20 + ib)
+        U, V = jnp.asarray(U), jnp.asarray(V)
+
+        def run():
+            uvt_val = pat.uvt(bk, U, V)
+            vals = pat.constr_vals(bk, uvt_val)
+            glob = pat.scatter_constr(bk, vals)
+            W = pat.build_w(bk, pat.gather_w(bk, w))
+            WX = pat.w_mul(bk, W, U)
+            cache = pat.gather_cache(bk, U)
+            WXc = pat.w_mul_cached(bk, W, U, cache)
+            return glob, WX, WXc
+
+        prev = pat.CUMSUM_F64
+        try:
+            pat.CUMSUM_F64 = True
+            on = run()
+            pat.CUMSUM_F64 = False
+            off = run()
+        finally:
+            pat.CUMSUM_F64 = prev
+        for a, b in zip(on, off):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-12)
