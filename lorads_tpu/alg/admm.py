@@ -74,7 +74,9 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
     rho (S - b) - lambda minus rho * local_vals at the block's slots.
     """
     base = rho * (constr_sum - pd.rhs) - dual
-    w_loc = pat.gather_w(bk, base) - rho * local_vals   # M1, per block
+    # M1, per block; summed buckets subtract the CONE total (the sum
+    # of the per-shard partials), not the shard's own partial
+    w_loc = pat.gather_w(bk, base) - rho * pat.cone_total(bk, local_vals)
     W = pat.build_w(bk, w_loc)                          # C + A*(M1)
     # the fixed factor is constant for the whole CG solve: cache its
     # gathered pattern rows once (pattern.gather_cache) so each CG
@@ -89,8 +91,8 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
     rhs = -M2 / rho
 
     def op(x):
-        vals = pat.constr_vals(bk, pat.uvt_half_cached(
-            bk, x, fixed_var, fcache))
+        vals = pat.cone_total(bk, pat.constr_vals(bk, pat.uvt_half_cached(
+            bk, x, fixed_var, fcache)))
         Wop = pat.build_w(bk, vals, include_obj=False)
         return x + pat.w_mul_cached(bk, Wop, fixed_var, fcache)
 
@@ -181,7 +183,7 @@ def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
     v_caches = list(v_caches) if v_caches is not None else [None] * nb
     cg_total = jnp.zeros((), jnp.int32)
     for j, bk in enumerate(pd.buckets):
-        simple = jacobi or bk.B == 1
+        simple = jacobi or bk.B == 1 or bk.summed
         s_j = S.cones[j] if S is not None else None
         if simple:
             u_new, loc, constr_sum, it1, uc = _update_sdp_var_one(
@@ -378,7 +380,7 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
 
         dt = pd.rhs.dtype
         def init_cache(bk, x):
-            if jacobi or bk.B == 1:
+            if jacobi or bk.B == 1 or bk.summed:
                 return pat.gather_cache(bk, x)
             return None
 

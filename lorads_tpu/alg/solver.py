@@ -126,9 +126,16 @@ class LoradsSolver:
         nd = len(devs)
         if nd < 2:
             return
-        shardable = [bp.B % nd == 0 and bp.B >= nd
-                     for bp in self.ps.buckets]
-        if mode == "auto" and not any(shardable):
+        # dp: bucket block axis divides the mesh.  sp: a single large
+        # sparse cone gets its UNION PATTERN sharded instead (summed
+        # BucketData, parallel/pattern_sharded.py) — factors stay
+        # replicated, the per-shard W.X partials psum over the mesh.
+        dp_ok = [mode in ("auto", "dp") and bp.B % nd == 0 and bp.B >= nd
+                 for bp in self.ps.buckets]
+        sp_ok = [mode in ("auto", "sp") and not dp
+                 and (not bp.dense) and bp.B == 1 and bp.K >= 16 * nd
+                 for bp, dp in zip(self.ps.buckets, dp_ok)]
+        if not any(dp_ok) and not any(sp_ok):
             return
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         self.mesh = Mesh(np.array(devs), ("blk",))
@@ -143,22 +150,29 @@ class LoradsSolver:
                 return jax.device_put(x, s)
             return jax.tree.map(leaf, tree_)
 
-        buckets = tuple(put(bk, ok)
-                        for bk, ok in zip(self.pd.buckets, shardable))
+        buckets = []
+        for bk, bp, dp, sp in zip(self.pd.buckets, self.ps.buckets,
+                                  dp_ok, sp_ok):
+            if sp:
+                from lorads_tpu.parallel.pattern_sharded import (
+                    build_pattern_shards)
+                bk = build_pattern_shards(bp.plans[0], self.m, nd,
+                                          self.dtype, summed=True)
+            buckets.append(put(bk, dp or sp))
         self.pd = dataclasses.replace(
-            self.pd, buckets=buckets,
+            self.pd, buckets=tuple(buckets),
             rhs=jax.device_put(self.pd.rhs, repl))
         for name in ("R", "U", "V", "S"):
             fv = getattr(self, name)
             setattr(self, name, FactorVec(
                 tuple(jax.device_put(x, row if ok else repl)
-                      for x, ok in zip(fv.cones, shardable)),
+                      for x, ok in zip(fv.cones, dp_ok)),
                 jax.device_put(fv.lp, repl)))
         self.dual = jax.device_put(self.dual, repl)
         self.hist = make_history(self.R, self.lbfgs_len)
-        self.log(f"sharding: {nd}-device mesh, buckets "
-                 f"{[i for i, ok in enumerate(shardable) if ok]} "
-                 f"block-sharded")
+        self.log(f"sharding: {nd}-device mesh, "
+                 f"dp buckets {[i for i, ok in enumerate(dp_ok) if ok]}, "
+                 f"sp buckets {[i for i, ok in enumerate(sp_ok) if ok]}")
 
     # ------------------------------------------------------------------
     # Variables.
@@ -512,10 +526,11 @@ class LoradsSolver:
         """
         v0s = []
         for bk, bp in zip(self.pd.buckets, self.ps.buckets):
-            v0 = self._rng.standard_normal((bk.B, bk.n))
+            b_eff = 1 if bk.summed else bk.B  # one logical cone per
+            v0 = self._rng.standard_normal((b_eff, bk.n))
             # mask padded rows so they stay out of the Krylov space
             v0 *= (np.arange(bk.n)[None, :]
-                   < np.asarray(bp.dims)[:, None])
+                   < np.asarray(bp.dims)[:b_eff, None])
             v0s.append(jnp.asarray(v0, self.dtype))
         v0s = tuple(v0s)
         lp_part, lams = _dual_infeas_device(self.pd, self.dual, v0s)
@@ -744,14 +759,21 @@ def _dual_infeas_device(pd, dual, v0s):
             ws = jnp.maximum(jnp.maximum(
                 jnp.max(jnp.abs(W_d), axis=1),
                 jnp.max(jnp.abs(W_o), axis=1)), 1e-30)
+            if bk.summed:
+                # one logical cone: normalize by the global max so
+                # every shard rescales identically
+                ws = jnp.broadcast_to(jnp.max(ws), ws.shape)
             Wn = (W_d / ws[:, None], W_o / ws[:, None],
                   W_oc / ws[:, None])
         else:
             ws = jnp.maximum(jnp.max(jnp.abs(W), axis=1), 1e-30)
+            if bk.summed:
+                ws = jnp.broadcast_to(jnp.max(ws), ws.shape)
             Wn = W / ws[:, None]
 
         def mv(x, bk=bk, Wn=Wn):
             return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]
 
-        lams.append(lanczos_min_eig_device(mv, v0) * ws)
+        ws_eff = ws[:1] if bk.summed else ws
+        lams.append(lanczos_min_eig_device(mv, v0) * ws_eff)
     return lp_part, tuple(lams)

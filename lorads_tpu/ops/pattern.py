@@ -183,6 +183,21 @@ class BucketData:
         default=False, metadata=dict(static=True))
 
     # ------------------------------------------------------------------
+    # summed: the B axis is a SHARD axis of one logical cone (pattern
+    # sharding, parallel/pattern_sharded.py), not independent blocks.
+    # Factors come in as [1, n, r] (replicated), are broadcast to
+    # [B, n, r] on kernel entry, and factor-shaped outputs (w_mul) are
+    # summed back to [1, n, r] — under a NamedSharding mesh placement
+    # GSPMD turns that sum into a psum over ICI.  Constraint-value
+    # outputs stay per-shard PARTIALS; scatter_constr's global sum
+    # already reduces over B.  Semantics are placement-independent:
+    # a summed bucket computes exactly what the unsharded single-block
+    # bucket computes (tested on CPU without a mesh).
+    # ------------------------------------------------------------------
+    summed: bool = dataclasses.field(default=False,
+                                     metadata=dict(static=True))
+
+    # ------------------------------------------------------------------
     # Diag/offdiag split (sparse mode only, split=True).
     #
     # The diagonal of sym(UV^T) is rowsum(U*V) — a dense VPU op — so
@@ -412,9 +427,15 @@ def _build_split_fields(bp: BucketPlan, dtype) -> dict:
 
 
 def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
-                      split: bool = True) -> BucketData:
-    """Convert a host BucketPlan into device arrays."""
+                      split: bool = True,
+                      summed: bool = False) -> BucketData:
+    """Convert a host BucketPlan into device arrays.
+
+    ``summed``: the B axis is a shard axis of ONE logical cone
+    (pattern sharding) — see BucketData.summed.  Sparse mode only.
+    """
     B, n, K = bp.B, bp.n, bp.K
+    assert not (summed and bp.dense), "summed buckets are sparse-mode"
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
     sort_flags = dict(
@@ -511,6 +532,7 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
             a_val_mirror=f(z1), c_full=f(np.zeros((B, 1, 1))),
             a_pos_s=i32(zi), a_con_loc_s=i32(zi), a_val_s=f(z1),
             row_perm=i32(zi), pat_rows_s=i32(zi), pat_cols_rp=i32(zi),
+            summed=summed,
             **sort_flags, **common_bounds, **split_fields,
         )
     return BucketData(
@@ -529,13 +551,40 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
             np.take_along_axis(bp.pat_rows, rperm, 1), n),
         bnd_pat_cols=(_bounds_np(bp.pat_cols, n)
                       if sort_flags["pat_cols_sorted"] else None),
+        summed=summed,
         **perms, **sort_flags, **common_bounds,
     )
 
 
 # ---------------------------------------------------------------------------
-# Kernels.  All take the bucket's factor matrices U, V: [B, n, r].
+# Kernels.  All take the bucket's factor matrices U, V: [B, n, r]
+# ([1, n, r] replicated for summed buckets).
 # ---------------------------------------------------------------------------
+
+def _expand(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a replicated factor-side array to the shard axis."""
+    if bk.summed and X.shape[0] != bk.B:
+        return jnp.broadcast_to(X, (bk.B,) + X.shape[1:])
+    return X
+
+
+def _reduce(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
+    """Sum a factor-shaped per-shard result back to [1, ...]
+    (a psum over the mesh once the B axis is device-sharded)."""
+    if bk.summed:
+        return jnp.sum(X, axis=0, keepdims=True)
+    return X
+
+
+def cone_total(bk: BucketData, vals: jnp.ndarray) -> jnp.ndarray:
+    """Per-cone constraint values from per-shard partials: for summed
+    buckets the logical cone's A_j(UV^T) is the sum over shards
+    (broadcast back so every shard sees the total)."""
+    if bk.summed:
+        return jnp.broadcast_to(
+            jnp.sum(vals, axis=0, keepdims=True), vals.shape)
+    return vals
+
 
 def uvt(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray):
     """sym(UV^T) = (UV^T + VU^T)/2, full (dense) or on-pattern (sparse).
@@ -544,6 +593,7 @@ def uvt(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray):
     diagonal costs only a dense rowsum.
     Reference: LORADSUVt (lorads_alg_common.c:21-68).
     """
+    U, V = _expand(bk, U), _expand(bk, V)
     if bk.dense:
         # HIGHEST: keep full f32 accumulate on the MXU (TPU f32 matmul
         # otherwise truncates inputs to bf16)
@@ -573,6 +623,7 @@ def uvt_pair(bk: BucketData, R: jnp.ndarray, D: jnp.ndarray):
     Used by the ALM line-search pair evaluation (ALMCalq12p12,
     lorads_alm.c:540-560).
     """
+    R, D = _expand(bk, R), _expand(bk, D)
     if bk.dense:
         return uvt(bk, R, D), uvt(bk, D, D)
     if bk.split:
@@ -737,6 +788,7 @@ def w_mul(bk: BucketData, W, X: jnp.ndarray) -> jnp.ndarray:
 
     Reference: mul_rk (lorads_sdp_data.c:491-504, 646-671).
     """
+    X = _expand(bk, X)
     if bk.dense:
         return jnp.einsum("bnm,bmr->bnr", W, X,
                           preferred_element_type=X.dtype,
@@ -756,7 +808,7 @@ def w_mul(bk: BucketData, W, X: jnp.ndarray) -> jnp.ndarray:
             out = out + batched_segment_sum(
                 W_oc[:, :, None] * xr_cp, bk.off_cols_sp, bk.n,
                 sorted_ids=True, bounds=bk.bnd_off_cols_sp)
-        return out
+        return _reduce(bk, out)
     # lower pass in row-sorted order (one extra [K] gather of W buys
     # a sorted scatter); upper pass is already column-sorted
     W_rp = jnp.take_along_axis(W, bk.row_perm, axis=1)
@@ -768,7 +820,7 @@ def w_mul(bk: BucketData, W, X: jnp.ndarray) -> jnp.ndarray:
     upper = batched_segment_sum(
         (W * bk.pat_offdiag)[:, :, None] * xr, bk.pat_cols, bk.n,
         sorted_ids=bk.pat_cols_sorted, bounds=bk.bnd_pat_cols)
-    return lower + upper
+    return _reduce(bk, lower + upper)
 
 
 def auv_into_global(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray):
@@ -794,6 +846,7 @@ def gather_cache(bk: BucketData, X: jnp.ndarray):
     w_mul_cached's sorted upper-half scatter."""
     if bk.dense or not bk.split or not bk.has_off:
         return None
+    X = _expand(bk, X)
     return (take_rows(X, bk.off_rows), take_rows(X, bk.off_cols),
             take_rows(X, bk.off_rows_cp))
 
@@ -803,7 +856,7 @@ def uvt_from_cache(bk: BucketData, R: jnp.ndarray, cache):
     if cache is None:
         return uvt(bk, R, R)
     Rr, Rc = cache[0], cache[1]
-    return jnp.sum(R * R, -1), jnp.sum(Rr * Rc, -1)
+    return _expand(bk, jnp.sum(R * R, -1)), jnp.sum(Rr * Rc, -1)
 
 
 def uvt_pair_cached(bk: BucketData, R: jnp.ndarray, D: jnp.ndarray,
@@ -813,11 +866,12 @@ def uvt_pair_cached(bk: BucketData, R: jnp.ndarray, D: jnp.ndarray,
     if cache is None:
         return uvt_pair(bk, R, D), None
     Rr, Rc = cache[0], cache[1]
-    Dr = take_rows(D, bk.off_rows)
-    Dc = take_rows(D, bk.off_cols)
-    Dr_cp = take_rows(D, bk.off_rows_cp)
-    rd_d = jnp.sum(R * D, -1)
-    dd_d = jnp.sum(D * D, -1)
+    De = _expand(bk, D)
+    Dr = take_rows(De, bk.off_rows)
+    Dc = take_rows(De, bk.off_cols)
+    Dr_cp = take_rows(De, bk.off_rows_cp)
+    rd_d = _expand(bk, jnp.sum(R * D, -1))
+    dd_d = _expand(bk, jnp.sum(D * D, -1))
     rd_o = 0.5 * (jnp.sum(Rr * Dc, -1) + jnp.sum(Rc * Dr, -1))
     dd_o = jnp.sum(Dr * Dc, -1)
     return ((rd_d, rd_o), (dd_d, dd_o)), (Dr, Dc, Dr_cp)
@@ -830,9 +884,10 @@ def uvt_half_cached(bk: BucketData, X: jnp.ndarray, F: jnp.ndarray,
     if fcache is None:
         return uvt(bk, X, F)
     Fr, Fc = fcache[0], fcache[1]
-    Xr = take_rows(X, bk.off_rows)
-    Xc = take_rows(X, bk.off_cols)
-    d = jnp.sum(X * F, -1)
+    Xe = _expand(bk, X)
+    Xr = take_rows(Xe, bk.off_rows)
+    Xc = take_rows(Xe, bk.off_cols)
+    d = _expand(bk, jnp.sum(X * F, -1))
     o = 0.5 * (jnp.sum(Xr * Fc, -1) + jnp.sum(Xc * Fr, -1))
     return d, o
 
@@ -848,7 +903,7 @@ def w_mul_cached(bk: BucketData, W, X: jnp.ndarray, cache) -> jnp.ndarray:
     if cache is None:
         return w_mul(bk, W, X)
     W_d, W_o, W_oc = W
-    out = W_d[:, :, None] * X
+    out = W_d[:, :, None] * _expand(bk, X)
     Xr, Xc, Xr_cp = cache
     out = out + batched_segment_sum(W_o[:, :, None] * Xc, bk.off_rows,
                                     bk.n, sorted_ids=bk.off_rows_sorted,
@@ -857,4 +912,4 @@ def w_mul_cached(bk: BucketData, W, X: jnp.ndarray, cache) -> jnp.ndarray:
                                     bk.off_cols_sp, bk.n,
                                     sorted_ids=True,
                                     bounds=bk.bnd_off_cols_sp)
-    return out
+    return _reduce(bk, out)

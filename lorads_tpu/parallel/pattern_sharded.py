@@ -35,7 +35,7 @@ AXIS = "sp"
 
 
 def build_pattern_shards(plan: BlockPlan, m_glob: int, n_devices: int,
-                         dtype) -> pat.BucketData:
+                         dtype, summed: bool = False) -> pat.BucketData:
     """Partition one block's union pattern into n_devices contiguous
     slot ranges and build a [D]-stacked BucketData (device axis
     leading, i.e. the usual B axis doubles as the shard axis).
@@ -92,7 +92,7 @@ def build_pattern_shards(plan: BlockPlan, m_glob: int, n_devices: int,
             == np.take_along_axis(pat_cols, a_pos_l, 1), 1.0, 2.0),
         glob_idx=np.tile(plan.loc2glob, (D, 1)).astype(np.int32),
     )
-    return pat.build_bucket_data(bp, m_glob, dtype)
+    return pat.build_bucket_data(bp, m_glob, dtype, summed=summed)
 
 
 def make_sharded_gradient(mesh: Mesh, bk: pat.BucketData, rhs,

@@ -334,3 +334,20 @@ def test_f64_bounded_path_full_kernels_parity():
         for a, b in zip(on, off):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-12, atol=1e-12)
+
+
+def test_dense_f64_two_plane_build_w_theta():
+    # lovasz_theta is dense-mode with unique W slots (a_lin2_exact):
+    # the f64 build_w two-plane f32 scatter must match the dense oracle
+    problem = generators.lovasz_theta(n=24, avg_degree=5, seed=2)
+    ps, bks = _setup(problem, dense_threshold=0.0, dense_dim_threshold=0)
+    bk = bks[0]
+    assert bk.dense and bk.a_lin2_exact
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal(problem.m)
+    W = np.asarray(pat.build_w(bk, pat.gather_w(bk, jnp.asarray(w))))
+    blk = problem.blocks[0]
+    Wd = blk.dense_obj().copy()
+    for i in range(problem.m):
+        Wd += w[i] * blk.dense_constr(i)
+    np.testing.assert_allclose(W[0], Wd, rtol=1e-13, atol=1e-13)

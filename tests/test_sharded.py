@@ -123,3 +123,87 @@ def test_sharded_full_solve_matches(eight_devices):
     r1 = s1.solve()
     assert r1.pinf_l1 <= 1e-5 and r1.gap <= 5e-5
     assert abs(r1.pobj - r0.pobj) <= 1e-4 * (1 + abs(r0.pobj))
+
+
+def test_summed_bucket_semantics_match_unsharded():
+    # pattern sharding (sp) is placement-independent: a summed
+    # D-shard BucketData computes exactly what the unsharded bucket
+    # computes — auv / obj / grad / admm subproblem builder
+    import jax.numpy as jnp
+
+    from lorads_tpu.alg import aop
+    from lorads_tpu.ops import pattern as pat
+    from lorads_tpu.parallel.pattern_sharded import build_pattern_shards
+
+    problem = generators.maxcut(n=300, avg_degree=4, seed=4)
+    params = LoradsParams(verbose=False)
+    s = LoradsSolver(problem, params)
+    pd, R = s.pd, s.R
+    bk = pd.buckets[0]
+    assert bk.B == 1 and not bk.dense
+    bk_sh = build_pattern_shards(s.ps.buckets[0].plans[0], problem.m,
+                                 4, s.dtype, summed=True)
+    pd_sh = aop.ProblemData(
+        m=pd.m, buckets=(bk_sh,), lp=pd.lp, rhs=pd.rhs,
+        c_nrm1=pd.c_nrm1, c_nrm2=pd.c_nrm2, c_nrm_inf=pd.c_nrm_inf,
+        b_nrm1=pd.b_nrm1, b_nrm2=pd.b_nrm2, b_nrm_inf=pd.b_nrm_inf)
+
+    _, tot = aop.auv(pd, R, R)
+    _, tot_sh = aop.auv(pd_sh, R, R)
+    np.testing.assert_allclose(np.asarray(tot_sh), np.asarray(tot),
+                               rtol=1e-12, atol=1e-12)
+
+    obj = float(aop.obj_only(pd, R, R))
+    obj_sh = float(aop.obj_only(pd_sh, R, R))
+    assert obj_sh == pytest.approx(obj, rel=1e-12)
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal(problem.m))
+    g = aop.grad(pd, R, w)
+    g_sh = aop.grad(pd_sh, R, w)
+    np.testing.assert_allclose(np.asarray(g_sh.cones[0]),
+                               np.asarray(g.cones[0]),
+                               rtol=1e-11, atol=1e-11)
+
+    # cached variants
+    ca = aop.gather_caches(pd_sh, R)
+    np.testing.assert_allclose(
+        np.asarray(aop.auv_cached(pd_sh, R, ca)), np.asarray(tot),
+        rtol=1e-12, atol=1e-12)
+    g_sh2 = aop.grad_cached(pd_sh, R, w, ca)
+    np.testing.assert_allclose(np.asarray(g_sh2.cones[0]),
+                               np.asarray(g.cones[0]),
+                               rtol=1e-11, atol=1e-11)
+
+    # one ADMM double-update sweep
+    from lorads_tpu.alg import admm as admm_mod
+    dual = jnp.asarray(rng.standard_normal(problem.m))
+    rho = jnp.asarray(2.0, s.dtype)
+    for pdx in (pd, pd_sh):
+        locals_, lpc, total, *_ = admm_mod.admm_init_eval(
+            pdx, s.U, s.V, dual, jnp.asarray(1.0, s.dtype))
+        out = admm_mod.admm_update_all(
+            pdx, s.U, s.V, locals_, lpc, total, dual, rho,
+            jnp.asarray(1e-10, s.dtype), 50)
+        if pdx is pd:
+            u_ref, v_ref, cs_ref = out[0], out[1], out[4]
+        else:
+            np.testing.assert_allclose(np.asarray(out[0].cones[0]),
+                                       np.asarray(u_ref.cones[0]),
+                                       rtol=1e-8, atol=1e-8)
+            np.testing.assert_allclose(np.asarray(out[4]),
+                                       np.asarray(cs_ref),
+                                       rtol=1e-8, atol=1e-8)
+
+
+def test_sp_sharded_full_solve(eight_devices):
+    # full two-phase solve with the union pattern sharded over the
+    # virtual mesh (params.shard="sp")
+    problem = generators.maxcut(n=240, avg_degree=4, seed=6)
+    ref = LoradsSolver(problem, LoradsParams(verbose=False)).solve()
+    s = LoradsSolver(problem, LoradsParams(verbose=False, shard="sp"))
+    assert s.mesh is not None and s.pd.buckets[0].summed
+    res = s.solve()
+    assert res.pinf_l1 <= 1e-5
+    assert res.gap <= 5e-5
+    assert res.pobj == pytest.approx(ref.pobj, rel=1e-3)
