@@ -42,9 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reoptLevel", type=int, default=2)
     p.add_argument("--dyrankLevel", type=int, default=2)
     p.add_argument("--highAccMode", type=int, default=0)
-    p.add_argument("--shard", choices=["off", "auto", "dp"],
+    p.add_argument("--shard", choices=["off", "auto", "dp", "sp"],
                    default="off",
-                   help="multi-device block data parallelism")
+                   help="multi-device placement: dp = block-axis data "
+                        "parallelism, sp = union-pattern sharding for "
+                        "single large cones, auto = pick per bucket")
     p.add_argument("--dualUV", type=int, default=0,
                    help="DUAL_U_V build variant: +/-S terms in the "
                         "ADMM subproblems")

@@ -87,9 +87,12 @@ class LoradsParams:
     # +/-S consensus terms in the ADMM subproblems; S stays at its
     # initial value exactly as the shipped reference never updates it
     dual_uv: bool = False
-    # multi-device placement: "off" | "auto" | "dp" (block-axis data
-    # parallelism over all visible devices; GSPMD partitions the
-    # solver's jitted programs)
+    # multi-device placement: "off" | "auto" | "dp" | "sp".
+    # dp = block-axis data parallelism (bucket B axis over the mesh);
+    # sp = union-pattern sharding for single large sparse cones
+    # (summed BucketData, factors replicated, W.X partials psum'd);
+    # auto = dp where the block axis divides the mesh, else sp where
+    # eligible.  GSPMD partitions the solver's jitted programs.
     shard: str = "off"
     fix_init_point: bool = False     # deterministic all-ones init
                                      # (FIX_INI_POINT, lorads_solver.c:441)

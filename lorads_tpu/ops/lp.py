@@ -4,6 +4,10 @@ The LP block is a diagonal PSD block factored rank-1 per column:
 x_j = u_j * v_j (reference lorads_lp_conic.c:172-217).  All per-column
 loops become vectorized gathers/segment-sums over the flattened LP
 constraint COO.
+
+Both segment sums carry statically sorted entry copies + boundary
+arrays so f64 data takes the scatter-free cumsum path
+(ops/pattern.py bounded_segment_sum).
 """
 
 from __future__ import annotations
@@ -29,21 +33,64 @@ class LPData:
     a_val: jnp.ndarray      # [nnz]
     col_nrm2sq: jnp.ndarray  # [n_cols], cached ||a_col||^2
                              # (lorads_lp_conic.c:106-107)
+    # statically sorted copies + segment boundaries (f64 fast path)
+    con_perm: jnp.ndarray = None   # int32 [nnz]: argsort(a_con)
+    a_con_s: jnp.ndarray = None    # int32 [nnz]
+    a_val_cs: jnp.ndarray = None   # [nnz] vals in con order
+    a_col_cs: jnp.ndarray = None   # int32 [nnz] cols in con order
+    bnd_con: jnp.ndarray = None    # int32 [m_glob+1]
+    col_perm: jnp.ndarray = None   # int32 [nnz]: argsort(a_col)
+    a_col_s: jnp.ndarray = None    # int32 [nnz]
+    a_val_ls: jnp.ndarray = None   # [nnz] vals in col order
+    a_con_ls: jnp.ndarray = None   # int32 [nnz] cons in col order
+    bnd_col: jnp.ndarray = None    # int32 [n_cols+1]
 
 
 def build_lp_data(lp: LPBlockData, dtype) -> LPData:
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+    cp = np.argsort(lp.a_con, kind="stable")
+    lps = np.argsort(lp.a_col, kind="stable")
+    con_s = np.asarray(lp.a_con)[cp]
+    col_s = np.asarray(lp.a_col)[lps]
+    bnd_con = np.searchsorted(con_s, np.arange(lp.m + 1)).astype(np.int32)
+    bnd_col = np.searchsorted(col_s,
+                              np.arange(lp.n_cols + 1)).astype(np.int32)
     return LPData(
         n_cols=lp.n_cols, m_glob=lp.m, nnz=int(lp.a_val.size),
-        obj=jnp.asarray(lp.obj, dtype=dtype),
-        a_con=jnp.asarray(lp.a_con, dtype=jnp.int32),
-        a_col=jnp.asarray(lp.a_col, dtype=jnp.int32),
-        a_val=jnp.asarray(lp.a_val, dtype=dtype),
-        col_nrm2sq=jnp.asarray(lp.col_nrm2_square(), dtype=dtype),
+        obj=f(lp.obj),
+        a_con=i32(lp.a_con),
+        a_col=i32(lp.a_col),
+        a_val=f(lp.a_val),
+        col_nrm2sq=f(lp.col_nrm2_square()),
+        con_perm=i32(cp), a_con_s=i32(con_s),
+        a_val_cs=f(np.asarray(lp.a_val)[cp]),
+        a_col_cs=i32(np.asarray(lp.a_col)[cp]),
+        bnd_con=i32(bnd_con),
+        col_perm=i32(lps), a_col_s=i32(col_s),
+        a_val_ls=f(np.asarray(lp.a_val)[lps]),
+        a_con_ls=i32(np.asarray(lp.a_con)[lps]),
+        bnd_col=i32(bnd_col),
     )
+
+
+def _bounded_1d(data: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
+    from lorads_tpu.ops.pattern import bounded_segment_sum
+    return bounded_segment_sum(data[None], bounds[None])[0]
+
+
+def _use_bounds(data: jnp.ndarray, bounds) -> bool:
+    from lorads_tpu.ops import pattern as pat
+    return (pat.CUMSUM_F64 and bounds is not None
+            and data.dtype == jnp.float64
+            and bounds.shape[-1] <= 2 * data.shape[-1] + 1)
 
 
 def constr_vals(lpd: LPData, uv: jnp.ndarray) -> jnp.ndarray:
     """A_lp(diag(uv)) -> global [m].  Reference: lp_cone_AUV."""
+    if _use_bounds(lpd.a_val_cs, lpd.bnd_con):
+        contrib = lpd.a_val_cs * uv[lpd.a_col_cs]
+        return _bounded_1d(contrib, lpd.bnd_con)
     contrib = lpd.a_val * uv[lpd.a_col]
     return jax.ops.segment_sum(contrib, lpd.a_con,
                                num_segments=lpd.m_glob)
@@ -59,6 +106,9 @@ def adjoint_cols(lpd: LPData, w: jnp.ndarray) -> jnp.ndarray:
 
     Reference: lp_cone_Wsum per column (lorads_lp_conic.c:211-213).
     """
+    if _use_bounds(lpd.a_val_ls, lpd.bnd_col):
+        contrib = lpd.a_val_ls * w[lpd.a_con_ls]
+        return _bounded_1d(contrib, lpd.bnd_col)
     contrib = lpd.a_val * w[lpd.a_con]
     return jax.ops.segment_sum(contrib, lpd.a_col,
                                num_segments=lpd.n_cols)
