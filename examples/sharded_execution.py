@@ -60,7 +60,26 @@ def sp_pattern(n_devices):
           f"{n_devices} devices; grad cert = {float(cert):.3e}")
 
 
+def integrated_solves(n_devices):
+    """Full two-phase solves with the solver's own sharding modes."""
+    # dp: bucket block axis over the mesh
+    problem = generators.random_multiblock(n_blocks=n_devices, dim=16,
+                                           m=12, seed=0)
+    res = LoradsSolver(problem,
+                       LoradsParams(verbose=False, shard="dp")).solve()
+    print(f"integrated dp solve: {res.status.value}, "
+          f"pinf {res.pinf_l1:.2e}, gap {res.gap:.2e}")
+
+    # sp: one large sparse cone, union pattern over the mesh
+    problem = generators.maxcut(n=256, avg_degree=4, seed=0)
+    res = LoradsSolver(problem,
+                       LoradsParams(verbose=False, shard="sp")).solve()
+    print(f"integrated sp solve: {res.status.value}, "
+          f"pinf {res.pinf_l1:.2e}, gap {res.gap:.2e}")
+
+
 if __name__ == "__main__":
     n = min(8, len(jax.devices()))
     dp_blocks(n)
     sp_pattern(n)
+    integrated_solves(n)
