@@ -84,7 +84,16 @@ def main(argv=None) -> int:
     print("-" * 59)
 
     t0 = time.time()
-    problem = read_sdpa(args.fname)
+    try:
+        problem = read_sdpa(args.fname)
+    except FileNotFoundError:
+        print(f"error: input file not found: {args.fname}",
+              file=sys.stderr)
+        return 2
+    except (ValueError, IndexError) as e:
+        print(f"error: could not parse SDPA file {args.fname}: {e}",
+              file=sys.stderr)
+        return 2
     print(f"Reading SDPA file in {time.time() - t0:.6f} seconds")
     print(f"nConstrs:{problem.m} nBlks:{problem.n_sdp_blocks} "
           f"nLpCols:{problem.n_lp_cols}")

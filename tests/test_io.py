@@ -117,3 +117,13 @@ def test_native_reader_matches_python(tmp_path):
         np.testing.assert_array_equal(a.a_val, b.a_val)
     np.testing.assert_array_equal(p1.lp.obj, p2.lp.obj)
     np.testing.assert_array_equal(p1.lp.a_val, p2.lp.a_val)
+
+
+def test_cli_bad_input_friendly_error(tmp_path, capsys):
+    from lorads_tpu.__main__ import main
+    assert main([str(tmp_path / "missing.dat-s")]) == 2
+    bad = tmp_path / "bad.dat-s"
+    bad.write_text("garbage\nnot sdpa\n")
+    assert main([str(bad)]) == 2
+    err = capsys.readouterr().err
+    assert "error:" in err
