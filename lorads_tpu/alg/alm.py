@@ -697,7 +697,7 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
     k = stats.outer_iter
     dt = pd.rhs.dtype
     cones_ok = True if not reopt else (pd.n_buckets <= 10)
-    max_outers = 8
+    max_outers = getattr(solver_ctx, "alm_max_outers", 8)
 
     while True:
         out = outer_chunk(

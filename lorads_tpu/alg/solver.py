@@ -96,6 +96,16 @@ class LoradsSolver:
                 for bp in self.ps.buckets)
             self.lbfgs_len = 2 if big_dense else 3
         self.log = print if self.params.verbose else (lambda *a, **k: None)
+        # dispatch-granularity autotuning: on the remote-TPU tunnel
+        # per-dispatch latency dominates small instances, so they get
+        # more ALM outers / ADMM iterations per device round-trip
+        # (time-limit check + log cadence coarsen accordingly)
+        total_rows = sum(bp.B * bp.n for bp in self.ps.buckets)
+        small = total_rows <= 4096
+        self.device_chunk_iters = self.params.device_chunk_iters
+        if self.device_chunk_iters is None:
+            self.device_chunk_iters = 200 if small else 50
+        self.alm_max_outers = 16 if small else 8
         self._rng = np.random.default_rng(self.params.seed)
         self._init_vars()
         self.mesh = None
@@ -413,7 +423,7 @@ class LoradsSolver:
                            carry["it"], carry["pinf_l1_0"], carry["gap_0"],
                            carry["pobj0"], carry["dobj0"], scale,
                            jnp.asarray(iter_celling, jnp.int32),
-                           jnp.asarray(self.params.device_chunk_iters,
+                           jnp.asarray(self.device_chunk_iters,
                                        jnp.int32),
                            carry["best_gap"], carry["since_best"],
                            self.S)

@@ -75,7 +75,11 @@ class LoradsParams:
                                      # f64 when the f32 noise floor
                                      # blocks the target tolerance
     seed: int = 925                  # reference srand(925) (lorads_solver.c:415)
-    device_chunk_iters: int = 50     # ADMM iterations per device round-trip
+    # ADMM iterations per device round-trip.  None -> auto: 50 (the
+    # reference log cadence, lorads_admm.c:139) for large problems,
+    # 200 for small ones where per-dispatch tunnel latency dominates
+    # (log cadence coarsens accordingly).
+    device_chunk_iters: Optional[int] = None
     verbose: bool = True
     dense_threshold: float = 0.1     # union density above which block goes dense
     per_matrix_dense_threshold: float = 0.1  # lorads_sdp_data.c:811-828
