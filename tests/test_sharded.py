@@ -207,3 +207,66 @@ def test_sp_sharded_full_solve(eight_devices):
     assert res.pinf_l1 <= 1e-5
     assert res.gap <= 5e-5
     assert res.pobj == pytest.approx(ref.pobj, rel=1e-3)
+
+
+def _mixed_problem():
+    """One big sparse cone (sp-eligible) + 8 same-shape small blocks
+    (dp-eligible), coupled only through disjoint constraint ranges."""
+    from lorads_tpu.core.problem import SDPProblem
+
+    big = generators.maxcut(n=200, avg_degree=4, seed=9)
+    small = generators.random_multiblock(n_blocks=8, dim=16, m=24,
+                                         density=0.3, seed=10)
+    blocks = list(big.blocks)
+    for blk in small.blocks:
+        blocks.append(type(blk)(
+            dim=blk.dim, m=big.m + small.m,
+            obj_row=blk.obj_row, obj_col=blk.obj_col,
+            obj_val=blk.obj_val,
+            a_con=blk.a_con + big.m, a_row=blk.a_row,
+            a_col=blk.a_col, a_val=blk.a_val))
+    big_blocks = [type(b)(
+        dim=b.dim, m=big.m + small.m,
+        obj_row=b.obj_row, obj_col=b.obj_col, obj_val=b.obj_val,
+        a_con=b.a_con, a_row=b.a_row, a_col=b.a_col, a_val=b.a_val)
+        for b in big.blocks]
+    return SDPProblem(
+        m=big.m + small.m,
+        rhs=np.concatenate([big.rhs, small.rhs]),
+        blocks=big_blocks + blocks[len(big.blocks):])
+
+
+def test_auto_shard_mixes_dp_and_sp(eight_devices):
+    problem = _mixed_problem()
+    ref = LoradsSolver(problem, LoradsParams(verbose=False)).solve()
+    s = LoradsSolver(problem, LoradsParams(verbose=False, shard="auto"))
+    assert s.mesh is not None
+    kinds = sorted((bk.summed, bk.B) for bk in s.pd.buckets)
+    assert any(summed for summed, _ in kinds), "sp bucket expected"
+    assert any((not summed) and B == 8 for summed, B in kinds), \
+        "dp bucket expected"
+    res = s.solve()
+    assert res.pinf_l1 <= 1e-4
+    assert res.pobj == pytest.approx(ref.pobj, rel=1e-2)
+
+
+def test_sp_aug_rank_and_f64_escalation(eight_devices):
+    import jax.numpy as jnp
+
+    problem = generators.maxcut(n=240, avg_degree=4, seed=6)
+    s = LoradsSolver(problem, LoradsParams(verbose=False, shard="sp",
+                                           dtype="f32"))
+    assert s.pd.buckets[0].summed
+    # rank augmentation keeps factors [1, n, r'] and the solve working
+    r0 = s.ranks[0]
+    s.aug_rank(1.5)
+    assert s.ranks[0] > r0
+    assert s.R.cones[0].shape[0] == 1
+    # f64 escalation rebuilds the summed bucket at f64 and the dual
+    # certificate still runs (exercises the summed Lanczos branch)
+    s._auto_dtype = True
+    assert s.maybe_escalate_f64("test")
+    assert s.pd.buckets[0].summed
+    assert s.pd.rhs.dtype == jnp.float64
+    res = s.solve()
+    assert res.pinf_l1 <= 1e-5
