@@ -90,7 +90,10 @@ def main(argv=None) -> int:
         print(f"error: input file not found: {args.fname}",
               file=sys.stderr)
         return 2
-    except (ValueError, IndexError) as e:
+    except (OSError, ValueError, IndexError, StopIteration,
+            UnicodeDecodeError) as e:
+        # the pure-Python reader fallback can raise StopIteration on a
+        # truncated file and OS-level errors on directories/binaries
         print(f"error: could not parse SDPA file {args.fname}: {e}",
               file=sys.stderr)
         return 2

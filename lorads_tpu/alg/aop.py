@@ -67,19 +67,21 @@ def build_problem_data(ps: Presolved, dtype) -> ProblemData:
     )
 
 
+def scale_bucket(bk, s: float):
+    """Scale one bucket's objective data by s (see scale_objective)."""
+    repl = dict(c_pat=bk.c_pat * s, c_pat_inner=bk.c_pat_inner * s,
+                c_full=bk.c_full * s)
+    if bk.split:
+        repl.update(c_diag=bk.c_diag * s, c_off=bk.c_off * s,
+                    c_off2=bk.c_off2 * s, c_off_cp=bk.c_off_cp * s)
+    return dataclasses.replace(bk, **repl)
+
+
 def scale_objective(pd: ProblemData, s: float) -> ProblemData:
     """Scale C by s in every block (reopt objScale_dualvar,
     lorads_solver.c:1040-1052).  Norm constants intentionally stay
     at their init values, matching the reference."""
-    def scale_bucket(bk):
-        repl = dict(c_pat=bk.c_pat * s, c_pat_inner=bk.c_pat_inner * s,
-                    c_full=bk.c_full * s)
-        if bk.split:
-            repl.update(c_diag=bk.c_diag * s, c_off=bk.c_off * s,
-                        c_off2=bk.c_off2 * s)
-        return dataclasses.replace(bk, **repl)
-
-    buckets = tuple(scale_bucket(bk) for bk in pd.buckets)
+    buckets = tuple(scale_bucket(bk, s) for bk in pd.buckets)
     lpd = pd.lp
     if lpd is not None:
         lpd = dataclasses.replace(lpd, obj=lpd.obj * s)

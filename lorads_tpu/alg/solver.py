@@ -168,6 +168,10 @@ class LoradsSolver:
                     build_pattern_shards)
                 bk = build_pattern_shards(bp.plans[0], self.m, nd,
                                           self.dtype, summed=True)
+                if self.scale_obj_his != 1.0:
+                    # the shards are rebuilt from the RAW plan: re-apply
+                    # any reopt objective scaling (objScale_dualvar)
+                    bk = aop.scale_bucket(bk, self.scale_obj_his)
             buckets.append(put(bk, dp or sp))
         self.pd = dataclasses.replace(
             self.pd, buckets=tuple(buckets),

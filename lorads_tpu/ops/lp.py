@@ -33,14 +33,11 @@ class LPData:
     a_val: jnp.ndarray      # [nnz]
     col_nrm2sq: jnp.ndarray  # [n_cols], cached ||a_col||^2
                              # (lorads_lp_conic.c:106-107)
-    # statically sorted copies + segment boundaries (f64 fast path)
-    con_perm: jnp.ndarray = None   # int32 [nnz]: argsort(a_con)
-    a_con_s: jnp.ndarray = None    # int32 [nnz]
+    # statically sorted copies + segment boundaries (f64 fast path;
+    # built only for f64 data — f32 never takes the bounded path)
     a_val_cs: jnp.ndarray = None   # [nnz] vals in con order
     a_col_cs: jnp.ndarray = None   # int32 [nnz] cols in con order
     bnd_con: jnp.ndarray = None    # int32 [m_glob+1]
-    col_perm: jnp.ndarray = None   # int32 [nnz]: argsort(a_col)
-    a_col_s: jnp.ndarray = None    # int32 [nnz]
     a_val_ls: jnp.ndarray = None   # [nnz] vals in col order
     a_con_ls: jnp.ndarray = None   # int32 [nnz] cons in col order
     bnd_col: jnp.ndarray = None    # int32 [n_cols+1]
@@ -49,13 +46,22 @@ class LPData:
 def build_lp_data(lp: LPBlockData, dtype) -> LPData:
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
-    cp = np.argsort(lp.a_con, kind="stable")
-    lps = np.argsort(lp.a_col, kind="stable")
-    con_s = np.asarray(lp.a_con)[cp]
-    col_s = np.asarray(lp.a_col)[lps]
-    bnd_con = np.searchsorted(con_s, np.arange(lp.m + 1)).astype(np.int32)
-    bnd_col = np.searchsorted(col_s,
-                              np.arange(lp.n_cols + 1)).astype(np.int32)
+    bounds = {}
+    if np.dtype(dtype) == np.float64:
+        cp = np.argsort(lp.a_con, kind="stable")
+        lps = np.argsort(lp.a_col, kind="stable")
+        con_s = np.asarray(lp.a_con)[cp]
+        col_s = np.asarray(lp.a_col)[lps]
+        bounds = dict(
+            a_val_cs=f(np.asarray(lp.a_val)[cp]),
+            a_col_cs=i32(np.asarray(lp.a_col)[cp]),
+            bnd_con=i32(np.searchsorted(
+                con_s, np.arange(lp.m + 1)).astype(np.int32)),
+            a_val_ls=f(np.asarray(lp.a_val)[lps]),
+            a_con_ls=i32(np.asarray(lp.a_con)[lps]),
+            bnd_col=i32(np.searchsorted(
+                col_s, np.arange(lp.n_cols + 1)).astype(np.int32)),
+        )
     return LPData(
         n_cols=lp.n_cols, m_glob=lp.m, nnz=int(lp.a_val.size),
         obj=f(lp.obj),
@@ -63,14 +69,7 @@ def build_lp_data(lp: LPBlockData, dtype) -> LPData:
         a_col=i32(lp.a_col),
         a_val=f(lp.a_val),
         col_nrm2sq=f(lp.col_nrm2_square()),
-        con_perm=i32(cp), a_con_s=i32(con_s),
-        a_val_cs=f(np.asarray(lp.a_val)[cp]),
-        a_col_cs=i32(np.asarray(lp.a_col)[cp]),
-        bnd_con=i32(bnd_con),
-        col_perm=i32(lps), a_col_s=i32(col_s),
-        a_val_ls=f(np.asarray(lp.a_val)[lps]),
-        a_con_ls=i32(np.asarray(lp.a_con)[lps]),
-        bnd_col=i32(bnd_col),
+        **bounds,
     )
 
 
@@ -80,10 +79,10 @@ def _bounded_1d(data: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
 
 
 def _use_bounds(data: jnp.ndarray, bounds) -> bool:
+    # delegate to the single eligibility predicate in ops/pattern.py
     from lorads_tpu.ops import pattern as pat
-    return (pat.CUMSUM_F64 and bounds is not None
-            and data.dtype == jnp.float64
-            and bounds.shape[-1] <= 2 * data.shape[-1] + 1)
+    return pat._use_bounds(data[None], bounds) if bounds is not None \
+        else False
 
 
 def constr_vals(lpd: LPData, uv: jnp.ndarray) -> jnp.ndarray:

@@ -296,7 +296,8 @@ def _bounds_np(ids: np.ndarray, S: int) -> jnp.ndarray:
     return jnp.asarray(out, jnp.int32)
 
 
-def _build_split_fields(bp: BucketPlan, dtype) -> dict:
+def _build_split_fields(bp: BucketPlan, dtype,
+                        want_bounds: bool = True) -> dict:
     """Host construction of the diag/offdiag split arrays (sparse mode).
 
     See BucketData.split.  Also detects the diag-identity structure
@@ -411,18 +412,25 @@ def _build_split_fields(bp: BucketPlan, dtype) -> dict:
         off_cols_sorted=_rows_sorted(off_cols),
         a_con_d_sorted=_rows_sorted(a_con_d),
         a_con_o_sorted=_rows_sorted(a_con_o),
-        # segment boundaries for the f64 scatter-free path
+        # segment boundaries for the f64 scatter-free path (f32 data
+        # never takes it, so skip the host/device cost there)
         bnd_a_con_d=(_bounds_np(a_con_d, bp.m_loc)
-                     if _rows_sorted(a_con_d) else None),
+                     if want_bounds and _rows_sorted(a_con_d) else None),
         bnd_a_con_o=(_bounds_np(a_con_o, bp.m_loc)
-                     if _rows_sorted(a_con_o) else None),
-        bnd_a_row_d_s=_bounds_np(ta(a_row_d, rd, 1), n),
-        bnd_a_pos_o_s=_bounds_np(ta(a_pos_o, po, 1), Ko),
-        bnd_a_pos_o_co_s=_bounds_np(ta(a_pos_o_co, pco, 1), Ko),
+                     if want_bounds and _rows_sorted(a_con_o) else None),
+        bnd_a_row_d_s=(_bounds_np(ta(a_row_d, rd, 1), n)
+                       if want_bounds else None),
+        bnd_a_pos_o_s=(_bounds_np(ta(a_pos_o, po, 1), Ko)
+                       if want_bounds else None),
+        bnd_a_pos_o_co_s=(_bounds_np(ta(a_pos_o_co, pco, 1), Ko)
+                          if want_bounds else None),
         bnd_off_rows=(_bounds_np(off_rows, n)
-                      if _rows_sorted(off_rows) else None),
-        bnd_off_rows_s=_bounds_np(ta(off_rows, rp, 1), n),
-        bnd_off_cols_sp=_bounds_np(ta(off_cols, cp, 1), n),
+                      if want_bounds and _rows_sorted(off_rows)
+                      else None),
+        bnd_off_rows_s=(_bounds_np(ta(off_rows, rp, 1), n)
+                        if want_bounds else None),
+        bnd_off_cols_sp=(_bounds_np(ta(off_cols, cp, 1), n)
+                         if want_bounds else None),
     )
 
 
@@ -445,11 +453,14 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
         pat_cols_sorted=_rows_sorted(bp.pat_cols),
         glob_sorted=(B == 1) and _rows_sorted(bp.glob_idx),
     )
+    want_bounds = np.dtype(dtype) == np.float64
     common_bounds = dict(
         bnd_a_con=(_bounds_np(bp.a_con_loc, bp.m_loc)
-                   if sort_flags["a_con_sorted"] else None),
+                   if want_bounds and sort_flags["a_con_sorted"]
+                   else None),
         bnd_glob=(_bounds_np(bp.glob_idx, m_glob + 1)
-                  if sort_flags["glob_sorted"] else None),
+                  if want_bounds and sort_flags["glob_sorted"]
+                  else None),
     )
     # static permutations making the remaining scatters sorted
     pperm = np.argsort(bp.a_pos, axis=1, kind="stable")
@@ -509,8 +520,9 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
             c_pat_inner=f(z1), pat_offdiag=f(z1), a_pos=i32(zi),
             a_lin=i32(a_lin), a_lin_t=i32(a_lin_t), a_val=f(bp.a_val),
             a_val_mirror=f(a_val_mirror), c_full=f(c_full),
-            a_lin2_perm=i32(lin2_perm),
-            bnd_a_lin2=_bounds_np(lin2_s, n * n),
+            a_lin2_perm=(i32(lin2_perm) if want_bounds else None),
+            bnd_a_lin2=(_bounds_np(lin2_s, n * n)
+                        if want_bounds else None),
             a_lin2_exact=lin2_exact,
             **perms, **sort_flags, **common_bounds,
         )
@@ -520,7 +532,8 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
         # the split arrays replace the union-pattern layout on device;
         # keep only placeholders for the union fields (the sharded
         # builders construct their own non-split BucketData)
-        split_fields = _build_split_fields(bp, dtype)
+        split_fields = _build_split_fields(bp, dtype,
+                                           want_bounds=want_bounds)
         return BucketData(
             dense=False, n=n, K=K, nnz_a=bp.nnz_a, m_loc=bp.m_loc, B=B,
             m_glob=m_glob,
@@ -545,12 +558,15 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
         pat_offdiag=f(np.where(is_diag, 0.0, 1.0)), a_pos=i32(bp.a_pos),
         a_lin=i32(zi), a_lin_t=i32(zi), a_val=f(bp.a_val),
         a_val_mirror=f(z1), c_full=f(np.zeros((B, 1, 1))),
-        bnd_a_pos_s=_bounds_np(
-            np.take_along_axis(bp.a_pos, pperm, 1), K),
-        bnd_pat_rows_s=_bounds_np(
-            np.take_along_axis(bp.pat_rows, rperm, 1), n),
+        bnd_a_pos_s=(_bounds_np(
+            np.take_along_axis(bp.a_pos, pperm, 1), K)
+            if want_bounds else None),
+        bnd_pat_rows_s=(_bounds_np(
+            np.take_along_axis(bp.pat_rows, rperm, 1), n)
+            if want_bounds else None),
         bnd_pat_cols=(_bounds_np(bp.pat_cols, n)
-                      if sort_flags["pat_cols_sorted"] else None),
+                      if want_bounds and sort_flags["pat_cols_sorted"]
+                      else None),
         summed=summed,
         **perms, **sort_flags, **common_bounds,
     )

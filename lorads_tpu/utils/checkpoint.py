@@ -97,11 +97,15 @@ def load_checkpoint(path: str, solver) -> dict:
     solver.dobj = meta["dobj"]
     solver.gap = meta["gap"]
     solver.pinf_l1 = meta["pinf_l1"]
-    # objective data must be re-scaled to match the checkpoint
+    # objective data must be re-scaled to match the checkpoint; the
+    # rebuild replaces any sharded placement, so re-shard afterwards
+    # (mirrors maybe_escalate_f64)
     from lorads_tpu.alg import aop
     from lorads_tpu.alg.state import make_history
     if solver.scale_obj_his != 1.0:
         solver.pd = aop.build_problem_data(solver.ps, solver.dtype)
         solver.pd = aop.scale_objective(solver.pd, solver.scale_obj_his)
+        if solver.mesh is not None:
+            solver._maybe_shard()
     solver.hist = make_history(solver.R, solver.lbfgs_len)
     return meta

@@ -351,3 +351,25 @@ def test_dense_f64_two_plane_build_w_theta():
     for i in range(problem.m):
         Wd += w[i] * blk.dense_constr(i)
     np.testing.assert_allclose(W[0], Wd, rtol=1e-13, atol=1e-13)
+
+
+def test_scale_objective_keeps_col_mirror_consistent():
+    # regression: scale_objective missed c_off_cp (the col-order mirror
+    # of C), so after a reopt rescale build_w's upper-half pass carried
+    # the UNSCALED objective.  Invariant: the col-order W plane is a
+    # static permutation of the row-order plane, scaled or not.
+    from lorads_tpu.alg import aop
+
+    problem = generators.maxcut(n=200, avg_degree=4, seed=5)
+    params = LoradsParams()
+    ps = presolve(problem, params, group=True)
+    pd = aop.build_problem_data(ps, jnp.float64)
+    pd5 = aop.scale_objective(pd, 5.0)
+    bk = pd5.buckets[0]
+    assert bk.split and bk.has_off
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal(problem.m))
+    _, W_o, W_oc = pat.build_w(bk, pat.gather_w(bk, w))
+    mirror = jnp.take_along_axis(W_o, bk.off_col_perm, axis=1)
+    np.testing.assert_allclose(np.asarray(W_oc), np.asarray(mirror),
+                               rtol=1e-12, atol=1e-12)
