@@ -270,3 +270,39 @@ def test_sp_aug_rank_and_f64_escalation(eight_devices):
     assert s.pd.rhs.dtype == jnp.float64
     res = s.solve()
     assert res.pinf_l1 <= 1e-5
+
+
+def test_row_sharded_gradient_matches(eight_devices):
+    """Tensor-parallel row-slab sharding: the row-sharded dense
+    gradient (uvt_slab/dsyr2k + slab dsymm) equals the single-device
+    dense-bucket gradient on a single dense cone."""
+    from lorads_tpu.parallel import row_sharded as rsh
+
+    problem = generators.random_multiblock(n_blocks=1, dim=18, m=14,
+                                           density=0.6, seed=11)
+    solver = LoradsSolver(problem, LoradsParams(verbose=False))
+    plan = solver.ps.plans[0]
+    assert plan.dense
+
+    rs = rsh.build_row_shards(plan, problem.m, 8, solver.dtype)
+    mesh = jax.sharding.Mesh(np.array(eight_devices), (rsh.AXIS,))
+    step = rsh.make_row_sharded_gradient(mesh, rs, solver.pd.rhs,
+                                         solver.pd.c_nrm_inf)
+    rho = jnp.asarray(1.7, solver.dtype)
+    dual = jnp.asarray(np.random.default_rng(0).standard_normal(
+        problem.m), solver.dtype)
+    U = solver.R.cones[0][0]
+    total_s, grad_s, cert_s = step(rs, U, solver.pd.rhs, dual, rho)
+
+    # unsharded oracle on the dense bucket
+    _, total = aop.auv(solver.pd, solver.R, solver.R)
+    w = rho * (total - solver.pd.rhs) - dual
+    grad = aop.grad(solver.pd, solver.R, w)
+    np.testing.assert_allclose(np.asarray(total_s), np.asarray(total),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(grad_s),
+                               np.asarray(grad.cones[0][0]),
+                               rtol=1e-9, atol=1e-10)
+    gref = np.asarray(grad.cones[0][0])
+    cert_ref = np.linalg.norm(gref) / (1.0 + solver.pd.c_nrm_inf)
+    assert float(cert_s) == pytest.approx(cert_ref, rel=1e-9)
