@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timesLogRank", type=float, default=2.0)
     p.add_argument("--rhoFreq", type=int, default=5)
     p.add_argument("--rhoFactor", type=float, default=1.2)
-    p.add_argument("--ALMRhoFactor", type=float, default=2.0)
+    p.add_argument("--ALMRhoFactor", type=float, default=None,
+                   help="ALM rho escalation factor (reference default"
+                        " 2.0; unset -> structure-based auto)")
     p.add_argument("--phase1Tol", type=float, default=1e-3)
     p.add_argument("--phase2Tol", type=float, default=1e-5)
     p.add_argument("--timeSecLimit", type=float, default=3600.0)

@@ -675,7 +675,9 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
     rank_flag = 0
     rank_flag_thres = params.rank_flag_thres
     if not reopt:
-        rho_update_factor = params.alm_rho_factor
+        # None-safe: LoradsSolver resolves the auto default before
+        # calling in; direct callers get the reference 2.0
+        rho_update_factor = params.alm_rho_factor or 2.0
     rho_factor_flag = 0
     k0 = stats.outer_iter
 

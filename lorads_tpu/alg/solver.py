@@ -73,6 +73,12 @@ class LoradsSolver:
         self.dtype = jnp.float64 if req == "f64" else jnp.float32
         self.pd = aop.build_problem_data(self.ps, self.dtype)
         self.m = problem.m
+        if self.params.alm_rho_factor is None:
+            # structure-based auto (see LoradsParams.alm_rho_factor)
+            pure_diag = (self.pd.lp is None and self.pd.buckets
+                         and all(bk.diag_ident for bk in self.pd.buckets))
+            self.params = dataclasses.replace(
+                self.params, alm_rho_factor=3.0 if pure_diag else 2.0)
         self.scale_obj_his = 1.0
         self.max_alm_sub_iter = 5000          # reference global, alm.c:7
         # global last-computed objective/DIMACS values, mirroring

@@ -48,7 +48,14 @@ class LoradsParams:
     times_log_rank: float = 2.0
     rho_freq: int = 5
     rho_factor: float = 1.2
-    alm_rho_factor: float = 2.0
+    # Reference default is 2.0 (main.c:30).  None -> auto: 3.0 when
+    # every SDP block's constraints are pure diagonal identities and
+    # there is no LP block (the Max-Cut shape, where ALM alone
+    # certifies and the high-rho tail dominates: n=20000 2.60s -> 1.87s
+    # measured, n=2000 neutral), else the reference 2.0 (matcomp
+    # regresses 1.19s -> 1.45s at 3.0; theta hands off to ADMM whose
+    # entry rho the ALM exit rho shifts).
+    alm_rho_factor: Optional[float] = None
     phase1_tol: float = 1e-3
     phase2_tol: float = 1e-5
     time_sec_limit: float = 3600.0
