@@ -171,16 +171,39 @@ def obj_only(pd: ProblemData, X: FactorVec, Y: FactorVec) -> jnp.ndarray:
     return obj
 
 
+def _diag_fast(bk) -> bool:
+    """Static gate for the diag-identity ALM fast path: constraints are
+    pure diagonal identities (A_i = a_i e_i e_i^T), so A(.) / A^*(.)
+    are elementwise and the only sparse work per iteration is one
+    C @ D product.  The cache then holds CR = C @ R instead of
+    gathered pattern rows."""
+    return bk.split and bk.diag_ident and not bk.summed
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CRCache:
+    """Diag-fast cache: CR = C @ R.  Its own pytree type so the cached
+    operators can statically distinguish it from the gathered-row
+    tuples that ADMM builds via pattern.gather_cache."""
+
+    cr: jnp.ndarray
+
+
 def gather_caches(pd: ProblemData, R: FactorVec):
-    """Per-bucket incremental pattern caches of R (pattern.gather_cache)."""
-    return tuple(pat.gather_cache(bk, Rb)
-                 for bk, Rb in zip(pd.buckets, R.cones))
+    """Per-bucket incremental caches of R: CR = C @ R for
+    diag-identity buckets (see _diag_fast), gathered pattern rows
+    (pattern.gather_cache) otherwise."""
+    return tuple(
+        CRCache(pat.cmul(bk, Rb)) if _diag_fast(bk)
+        else pat.gather_cache(bk, Rb)
+        for bk, Rb in zip(pd.buckets, R.cones))
 
 
 def axpy_caches(caches, t, dcaches):
     """caches + t * dcaches, None entries passed through."""
     return tuple(
-        c if c is None else tuple(ci + t * di for ci, di in zip(c, d))
+        c if c is None else jax.tree.map(lambda a, b: a + t * b, c, d)
         for c, d in zip(caches, dcaches))
 
 
@@ -195,6 +218,19 @@ def obj_and_auv_pair_cached(pd: ProblemData, R: FactorVec, D: FactorVec,
     t2 = jnp.zeros((pd.m,), dt)
     dcaches = []
     for bk, Rb, Db, cache in zip(pd.buckets, R.cones, D.cones, caches):
+        if isinstance(cache, CRCache):
+            # <C, sym(RD^T)> = (<R, CD> + <D, CR>)/2;
+            # <C, sym(DD^T)> = <D, CD>; A(.) is diagonal-elementwise
+            cd = pat.cmul(bk, Db)
+            cr = cache.cr
+            dcaches.append(CRCache(cd))
+            p1 = p1 + 0.5 * (jnp.sum(Rb * cd) + jnp.sum(Db * cr))
+            p2 = p2 + jnp.sum(Db * cd)
+            t1 = t1 + pat.scatter_constr(
+                bk, bk.a_val_d * jnp.sum(Rb * Db, -1))
+            t2 = t2 + pat.scatter_constr(
+                bk, bk.a_val_d * jnp.sum(Db * Db, -1))
+            continue
         (uv_rd, uv_dd), dc = pat.uvt_pair_cached(bk, Rb, Db, cache)
         dcaches.append(dc)
         p1 = p1 + jnp.sum(pat.obj_inner(bk, uv_rd))
@@ -215,6 +251,10 @@ def auv_cached(pd: ProblemData, R: FactorVec, caches):
     """A(sym(RR^T)) global sum from the caches (no factor gathers)."""
     total = jnp.zeros((pd.m,), dtype=pd.rhs.dtype)
     for bk, Rb, cache in zip(pd.buckets, R.cones, caches):
+        if isinstance(cache, CRCache):
+            total = total + pat.scatter_constr(
+                bk, bk.a_val_d * jnp.sum(Rb * Rb, -1))
+            continue
         vals = pat.constr_vals(bk, pat.uvt_from_cache(bk, Rb, cache))
         total = total + pat.scatter_constr(bk, vals)
     if pd.lp is not None:
@@ -228,6 +268,12 @@ def obj_and_auv_cached(pd: ProblemData, R: FactorVec, caches):
     total = jnp.zeros((pd.m,), dtype=pd.rhs.dtype)
     obj = jnp.zeros((), dtype=pd.rhs.dtype)
     for bk, Rb, cache in zip(pd.buckets, R.cones, caches):
+        if isinstance(cache, CRCache):
+            obj = obj + jnp.sum(Rb * cache.cr)       # <R, CR>
+            vals = bk.a_val_d * jnp.sum(Rb * Rb, -1)
+            locals_.append(vals)
+            total = total + pat.scatter_constr(bk, vals)
+            continue
         uv = pat.uvt_from_cache(bk, Rb, cache)
         obj = obj + jnp.sum(pat.obj_inner(bk, uv))
         vals = pat.constr_vals(bk, uv)
@@ -244,6 +290,9 @@ def obj_cached(pd: ProblemData, R: FactorVec, caches) -> jnp.ndarray:
     """<C, sym(RR^T)> from the caches (no factor gathers)."""
     obj = jnp.zeros((), dtype=pd.rhs.dtype)
     for bk, Rb, cache in zip(pd.buckets, R.cones, caches):
+        if isinstance(cache, CRCache):
+            obj = obj + jnp.sum(Rb * cache.cr)       # <R, CR>
+            continue
         obj = obj + jnp.sum(pat.obj_inner(
             bk, pat.uvt_from_cache(bk, Rb, cache)))
     if pd.lp is not None:
@@ -257,6 +306,11 @@ def grad_cached(pd: ProblemData, R: FactorVec, w: jnp.ndarray,
     cones = []
     for bk, Rb, cache in zip(pd.buckets, R.cones, caches):
         w_loc = pat.gather_w(bk, w)
+        if isinstance(cache, CRCache):
+            # A^*(w) is diagonal: grad = 2 (CR + (w a_d) . R)
+            cones.append(2.0 * (
+                cache.cr + (bk.a_val_d * w_loc)[:, :, None] * Rb))
+            continue
         W = pat.build_w(bk, w_loc)
         cones.append(2.0 * pat.w_mul_cached(bk, W, Rb, cache))
     if pd.lp is not None:
@@ -275,6 +329,11 @@ def grad(pd: ProblemData, R: FactorVec, w: jnp.ndarray) -> FactorVec:
     cones = []
     for bk, Rb in zip(pd.buckets, R.cones):
         w_loc = pat.gather_w(bk, w)
+        if _diag_fast(bk):
+            cones.append(2.0 * (
+                pat.cmul(bk, Rb)
+                + (bk.a_val_d * w_loc)[:, :, None] * Rb))
+            continue
         W = pat.build_w(bk, w_loc)
         cones.append(2.0 * pat.w_mul(bk, W, Rb))
     if pd.lp is not None:

@@ -36,6 +36,13 @@ from lorads_tpu.core.presolve import BucketPlan
 # kept for experiments/ablations.
 CUMSUM_F64 = True
 
+# f32 gradient-path products (cmul) may also take the scatter-free
+# cumsum route: measured 300us vs 568us per 80k-row segment sum on
+# v5e, with error O(eps |prefix|) ~ 1e-5 relative — acceptable for
+# L-BFGS directions / line-search coefficients, NOT for the
+# DIMACS-critical constraint sums (which keep the scatter at f32).
+CUMSUM_F32_GRAD = True
+
 
 def bounded_segment_sum(data: jnp.ndarray,
                         bounds: jnp.ndarray) -> jnp.ndarray:
@@ -64,19 +71,25 @@ def bounded_segment_sum(data: jnp.ndarray,
     return g[:, 1:] - g[:, :-1]
 
 
-def _use_bounds(data: jnp.ndarray, bounds) -> bool:
+def _use_bounds(data: jnp.ndarray, bounds, f32_ok: bool = False) -> bool:
     """The bounded path pays off iff the boundary gathers don't dwarf
     the scatter it replaces: S+1 output gathers vs N scattered rows
-    (gathers are ~2x cheaper per row than scatters on TPU)."""
-    return (CUMSUM_F64 and bounds is not None
-            and data.dtype == jnp.float64
-            and bounds.shape[-1] <= 2 * data.shape[1] + 1)
+    (gathers are ~2x cheaper per row than scatters on TPU).
+
+    f32_ok: the caller is a gradient-path product where the cumsum's
+    O(eps |prefix|) error is acceptable (see CUMSUM_F32_GRAD)."""
+    if bounds is None or bounds.shape[-1] > 2 * data.shape[1] + 1:
+        return False
+    if data.dtype == jnp.float64:
+        return CUMSUM_F64
+    return f32_ok and CUMSUM_F32_GRAD
 
 
 def batched_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
                         num_segments: int,
                         sorted_ids: bool = False,
-                        bounds=None) -> jnp.ndarray:
+                        bounds=None,
+                        f32_bounds: bool = False) -> jnp.ndarray:
     """segment_sum along axis 1 of [B, N, ...] with ids [B, N].
 
     The block-offset trick keeps global sortedness whenever each
@@ -87,7 +100,7 @@ def batched_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
     indices (only valid for per-block-sorted ids); f64 data then takes
     the scatter-free bounded_segment_sum path.
     """
-    if _use_bounds(data, bounds):
+    if _use_bounds(data, bounds, f32_ok=f32_bounds):
         return bounded_segment_sum(data, bounds)
     B = data.shape[0]
     offset = (jnp.arange(B, dtype=ids.dtype) * num_segments)[:, None]
@@ -163,6 +176,10 @@ class BucketData:
     pat_cols_sorted: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
     glob_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    # single block whose local constraint slots ARE the global slots
+    # (loc2glob == arange(m)): scatter_constr / gather_w are identity
+    glob_ident: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
 
     # -- static segment boundaries for every sorted scatter --
@@ -424,13 +441,12 @@ def _build_split_fields(bp: BucketPlan, dtype,
                        if want_bounds else None),
         bnd_a_pos_o_co_s=(_bounds_np(ta(a_pos_o_co, pco, 1), Ko)
                           if want_bounds else None),
+        # built at every dtype: cmul's f32 cumsum path needs them too
+        # (they are only [B, n+1] ints)
         bnd_off_rows=(_bounds_np(off_rows, n)
-                      if want_bounds and _rows_sorted(off_rows)
-                      else None),
-        bnd_off_rows_s=(_bounds_np(ta(off_rows, rp, 1), n)
-                        if want_bounds else None),
-        bnd_off_cols_sp=(_bounds_np(ta(off_cols, cp, 1), n)
-                         if want_bounds else None),
+                      if _rows_sorted(off_rows) else None),
+        bnd_off_rows_s=_bounds_np(ta(off_rows, rp, 1), n),
+        bnd_off_cols_sp=_bounds_np(ta(off_cols, cp, 1), n),
     )
 
 
@@ -452,6 +468,9 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
         pat_rows_sorted=_rows_sorted(bp.pat_rows),
         pat_cols_sorted=_rows_sorted(bp.pat_cols),
         glob_sorted=(B == 1) and _rows_sorted(bp.glob_idx),
+        glob_ident=(B == 1 and not summed and bp.m_loc == m_glob
+                    and bool(np.array_equal(bp.glob_idx[0],
+                                            np.arange(m_glob)))),
     )
     want_bounds = np.dtype(dtype) == np.float64
     common_bounds = dict(
@@ -718,6 +737,8 @@ def scatter_constr(bk: BucketData, vals: jnp.ndarray) -> jnp.ndarray:
     Reference: lorads_vec add / the sparse-cone rowIdx reposition
     (lorads_elements.c:7-37, lorads_admm.c:360-372).
     """
+    if bk.glob_ident:
+        return vals[0]
     if _use_bounds(vals, bk.bnd_glob):
         out = bounded_segment_sum(vals, bk.bnd_glob)  # [B, m_glob+1]
         return jnp.sum(out, axis=0)[: bk.m_glob]
@@ -729,6 +750,8 @@ def scatter_constr(bk: BucketData, vals: jnp.ndarray) -> jnp.ndarray:
 
 def gather_w(bk: BucketData, w: jnp.ndarray) -> jnp.ndarray:
     """Gather a global m-vector at this bucket's constraint slots."""
+    if bk.glob_ident:
+        return w[None]
     w1 = jnp.concatenate([w, jnp.zeros((1,), dtype=w.dtype)])
     return w1[bk.glob_idx]
 
@@ -906,6 +929,35 @@ def uvt_half_cached(bk: BucketData, X: jnp.ndarray, F: jnp.ndarray,
     d = _expand(bk, jnp.sum(X * F, -1))
     o = 0.5 * (jnp.sum(Xr * Fc, -1) + jnp.sum(Xc * Fr, -1))
     return d, o
+
+
+def cmul(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
+    """C @ X for split-mode buckets (C is the STATIC objective block).
+
+    The diag-identity ALM fast path keeps an incremental cache of
+    CR = C @ R (advanced by tau * C @ D per line-search step), which
+    makes the gradient 2 (C + A^*(w)) R purely elementwise when the
+    adjoint is diagonal.  The two segment sums take the scatter-free
+    cumsum route at f32 too (gradient-path accuracy, CUMSUM_F32_GRAD).
+    Reference semantics: mul_rk with the objective matrix
+    (lorads_sdp_data.c:491-504).
+    """
+    Xe = _expand(bk, X)
+    out = bk.c_diag[:, :, None] * Xe
+    if bk.has_off:
+        # lower pass: C values in pattern (row-sorted) order
+        Xc = take_rows(Xe, bk.off_cols)
+        out = out + batched_segment_sum(
+            bk.c_off[:, :, None] * Xc, bk.off_rows, bk.n,
+            sorted_ids=bk.off_rows_sorted, bounds=bk.bnd_off_rows,
+            f32_bounds=True)
+        # upper pass: the col-order mirror (statically permuted C)
+        Xr_cp = take_rows(Xe, bk.off_rows_cp)
+        out = out + batched_segment_sum(
+            bk.c_off_cp[:, :, None] * Xr_cp, bk.off_cols_sp, bk.n,
+            sorted_ids=True, bounds=bk.bnd_off_cols_sp,
+            f32_bounds=True)
+    return _reduce(bk, out)
 
 
 def w_mul_cached(bk: BucketData, W, X: jnp.ndarray, cache) -> jnp.ndarray:

@@ -373,3 +373,73 @@ def test_scale_objective_keeps_col_mirror_consistent():
     mirror = jnp.take_along_axis(W_o, bk.off_col_perm, axis=1)
     np.testing.assert_allclose(np.asarray(W_oc), np.asarray(mirror),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_diag_fast_path_matches_generic():
+    # diag-identity ALM fast path: the CRCache operators (cmul-based
+    # gradient, pair eval, obj/auv refresh, cache axpy) match the
+    # generic pattern path exactly on a Max-Cut block
+    from lorads_tpu.alg import aop
+    from lorads_tpu.alg.solver import LoradsSolver
+
+    problem = generators.maxcut(n=300, avg_degree=4, seed=3)
+    s = LoradsSolver(problem, LoradsParams(verbose=False))
+    pd, R = s.pd, s.R
+    bk = pd.buckets[0]
+    assert aop._diag_fast(bk) and bk.glob_ident
+    rng = np.random.default_rng(0)
+    D = type(R)(tuple(jnp.asarray(rng.standard_normal(x.shape))
+                      for x in R.cones), R.lp)
+    w = jnp.asarray(rng.standard_normal(problem.m))
+
+    ca = aop.gather_caches(pd, R)
+    assert isinstance(ca[0], aop.CRCache)
+    p1, t1, p2, t2, dca = aop.obj_and_auv_pair_cached(pd, R, D, ca)
+    p1o, t1o, p2o, t2o = aop.obj_and_auv_pair(pd, R, D)
+    assert float(p1) == pytest.approx(float(p1o), rel=1e-11)
+    assert float(p2) == pytest.approx(float(p2o), rel=1e-11)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t1o),
+                               rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t2o),
+                               rtol=1e-11, atol=1e-12)
+
+    W = pat.build_w(bk, pat.gather_w(bk, w))
+    go = 2.0 * pat.w_mul(bk, W, R.cones[0])
+    g = aop.grad_cached(pd, R, w, ca)
+    np.testing.assert_allclose(np.asarray(g.cones[0]), np.asarray(go),
+                               rtol=1e-12, atol=1e-12)
+    g2 = aop.grad(pd, R, w)
+    np.testing.assert_allclose(np.asarray(g2.cones[0]), np.asarray(go),
+                               rtol=1e-12, atol=1e-12)
+
+    _, toto = aop.auv(pd, R, R)
+    np.testing.assert_allclose(np.asarray(aop.auv_cached(pd, R, ca)),
+                               np.asarray(toto), rtol=1e-12, atol=1e-12)
+    assert float(aop.obj_cached(pd, R, ca)) == pytest.approx(
+        float(aop.obj_only(pd, R, R)), rel=1e-12)
+
+    # cache advances exactly like the factor: C(R + t D) = CR + t CD
+    ca2 = aop.axpy_caches(ca, 0.37, dca)
+    ca2f = aop.gather_caches(pd, R.axpy(0.37, D))
+    np.testing.assert_allclose(np.asarray(ca2[0].cr),
+                               np.asarray(ca2f[0].cr),
+                               rtol=1e-11, atol=1e-12)
+
+
+def test_cmul_f32_cumsum_accuracy():
+    # the f32 scatter-free cumsum route in cmul stays within the
+    # gradient-path error budget (~1e-5 relative) vs the f64 oracle
+    from lorads_tpu.alg import aop
+
+    problem = generators.maxcut(n=500, avg_degree=8, seed=9)
+    ps = presolve(problem, LoradsParams(), group=True)
+    pd32 = aop.build_problem_data(ps, jnp.float32)
+    pd64 = aop.build_problem_data(ps, jnp.float64)
+    bk32, bk64 = pd32.buckets[0], pd64.buckets[0]
+    assert bk32.split and bk32.has_off
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((1, bk64.n, 8))
+    got = np.asarray(pat.cmul(bk32, jnp.asarray(X, jnp.float32)))
+    ref = np.asarray(pat.cmul(bk64, jnp.asarray(X)))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 5e-5 * scale
