@@ -767,6 +767,24 @@ def _dual_infeas_device(pd, dual, v0s):
     lams = []
     for bk, v0 in zip(pd.buckets, v0s):
         w_loc = pat.gather_w(bk, neg_l)
+        if bk.split and bk.diag_ident and not bk.summed:
+            # A^*(lambda) is diagonal, so the slack's off part is the
+            # STATIC C pattern: mv = one single-pass cmul + elementwise
+            # diagonal (same trick as the ALM fast path)
+            W_d = bk.c_diag + bk.a_val_d * w_loc
+            ws = jnp.maximum(jnp.maximum(
+                jnp.max(jnp.abs(W_d), axis=1),
+                jnp.max(jnp.abs(bk.c_off), axis=1)), 1e-30)
+            Wdn = W_d / ws[:, None]
+            inv = 1.0 / ws
+
+            def mv(x, bk=bk, Wdn=Wdn, inv=inv):
+                off = pat.cmul(bk, x[:, :, None],
+                               include_diag=False)[:, :, 0]
+                return off * inv[:, None] + Wdn * x
+
+            lams.append(lanczos_min_eig_device(mv, v0) * ws)
+            continue
         W = pat.build_w(bk, w_loc)
         # normalize the slack operator per block: |lambda| grows with
         # rho, and an un-normalized f32 Lanczos sweep can overflow

@@ -288,6 +288,14 @@ class BucketData:
     a_con_o_sorted: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
     # segment boundaries for the split-mode sorted scatters
+    # full-symmetric C entry list sorted by row: cmul's single-pass
+    # form (one gather + one segment sum over 2*Ko entries instead of
+    # a lower pass + a col-mirror pass)
+    Ks: int = dataclasses.field(default=0, metadata=dict(static=True))
+    sym_rows_rs: jnp.ndarray = None      # int32 [B, Ks] row-sorted
+    sym_cols_rs: jnp.ndarray = None      # int32 [B, Ks]
+    c_sym_rs: jnp.ndarray = None         # [B, Ks] C values
+    bnd_sym_rows: jnp.ndarray = None     # [B, n+1]
     bnd_a_con_d: jnp.ndarray = None      # [B, m_loc+1] (a_con_d)
     bnd_a_con_o: jnp.ndarray = None      # [B, m_loc+1] (a_con_o)
     bnd_a_row_d_s: jnp.ndarray = None    # [B, n+1]     (a_row_d_s)
@@ -397,10 +405,33 @@ def _build_split_fields(bp: BucketPlan, dtype,
     a_pos_o_co = ta(inv_cp, a_pos_o, 1)
     pco = np.argsort(a_pos_o_co, axis=1, kind="stable")
 
+    # full-symmetric C entries (lower + mirror) sorted by row, padded
+    # per block; pad slots carry (row 0, col 0, value 0) — harmless
+    Ks = max(2 * max(o[0].size for o in per_off), 1)
+    sym_rows = np.zeros((B, Ks), np.int64)
+    sym_cols = np.zeros((B, Ks), np.int64)
+    sym_vals = np.zeros((B, Ks))
+    for b, (orow, ocol, oval) in enumerate(per_off):
+        k2 = 2 * orow.size
+        sr = np.concatenate([orow, ocol])
+        sc = np.concatenate([ocol, orow])
+        sv = np.concatenate([oval, oval])
+        o_rs = np.argsort(sr, kind="stable")
+        sym_rows[b, :k2] = sr[o_rs]
+        sym_cols[b, :k2] = sc[o_rs]
+        sym_vals[b, :k2] = sv[o_rs]
+        # keep padding sorted too (zeros sort to the front)
+        row_sorted = np.argsort(sym_rows[b], kind="stable")
+        sym_rows[b] = sym_rows[b][row_sorted]
+        sym_cols[b] = sym_cols[b][row_sorted]
+        sym_vals[b] = sym_vals[b][row_sorted]
+
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
     return dict(
         split=True, diag_ident=bool(ident), Ko=Ko, nnz_d=nnz_d,
+        Ks=Ks, sym_rows_rs=i32(sym_rows), sym_cols_rs=i32(sym_cols),
+        c_sym_rs=f(sym_vals), bnd_sym_rows=_bounds_np(sym_rows, n),
         nnz_o=nnz_o,
         has_diag_a=any(a[0].size for a in per_ad),
         has_off_a=any(a[0].size for a in per_ao),
@@ -931,7 +962,8 @@ def uvt_half_cached(bk: BucketData, X: jnp.ndarray, F: jnp.ndarray,
     return d, o
 
 
-def cmul(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
+def cmul(bk: BucketData, X: jnp.ndarray,
+         include_diag: bool = True) -> jnp.ndarray:
     """C @ X for split-mode buckets (C is the STATIC objective block).
 
     The diag-identity ALM fast path keeps an incremental cache of
@@ -943,19 +975,15 @@ def cmul(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
     (lorads_sdp_data.c:491-504).
     """
     Xe = _expand(bk, X)
-    out = bk.c_diag[:, :, None] * Xe
+    out = bk.c_diag[:, :, None] * Xe if include_diag \
+        else jnp.zeros_like(Xe)
     if bk.has_off:
-        # lower pass: C values in pattern (row-sorted) order
-        Xc = take_rows(Xe, bk.off_cols)
+        # single pass over the full-symmetric row-sorted entry list:
+        # one gather + one segment sum over 2*Ko entries
+        Xs = take_rows(Xe, bk.sym_cols_rs)
         out = out + batched_segment_sum(
-            bk.c_off[:, :, None] * Xc, bk.off_rows, bk.n,
-            sorted_ids=bk.off_rows_sorted, bounds=bk.bnd_off_rows,
-            f32_bounds=True)
-        # upper pass: the col-order mirror (statically permuted C)
-        Xr_cp = take_rows(Xe, bk.off_rows_cp)
-        out = out + batched_segment_sum(
-            bk.c_off_cp[:, :, None] * Xr_cp, bk.off_cols_sp, bk.n,
-            sorted_ids=True, bounds=bk.bnd_off_cols_sp,
+            bk.c_sym_rs[:, :, None] * Xs, bk.sym_rows_rs, bk.n,
+            sorted_ids=True, bounds=bk.bnd_sym_rows,
             f32_bounds=True)
     return _reduce(bk, out)
 
