@@ -204,3 +204,81 @@ def random_multiblock(n_blocks: int = 4, dim: int = 20, m: int = 30,
         rhs = rhs + lp.dense_matrix() @ x0
 
     return SDPProblem(m=m, rhs=rhs, blocks=blocks, lp=lp)
+
+
+def read_graph(path: str):
+    """Read a rudy/G-set-format graph file.
+
+    Format (the G-set distribution, e.g. web.stanford.edu/~yyye/yyye/Gset):
+    a header line ``n_vertices n_edges`` followed by one ``i j w`` line
+    per edge, vertices 1-based; ``w`` optional (default 1).  Returns
+    (n, a, b, w) with 0-based int32 endpoint arrays.
+    """
+    with open(path) as fh:
+        first = fh.readline().split()
+        n = int(first[0])
+        rows, cols, vals = [], [], []
+        for line in fh:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            i, j = int(parts[0]), int(parts[1])
+            w = float(parts[2]) if len(parts) > 2 else 1.0
+            if i == j:
+                continue
+            rows.append(i - 1)
+            cols.append(j - 1)
+            vals.append(w)
+    a = np.asarray(rows, dtype=np.int32)
+    b = np.asarray(cols, dtype=np.int32)
+    w = np.asarray(vals, dtype=np.float64)
+    return n, a, b, w
+
+
+def maxcut_from_graph(path: str) -> SDPProblem:
+    """Max-Cut SDP from a rudy/G-set graph file (see read_graph):
+    min <-L/4, X> s.t. X_ii = 1, X PSD — the reference's headline
+    benchmark family (README.md:148-151, arXiv:2403.09133)."""
+    n, a, b, w = read_graph(path)
+    rows = np.concatenate([np.arange(n), a])
+    cols = np.concatenate([np.arange(n), b])
+    deg = np.zeros(n)
+    np.add.at(deg, a, w)
+    np.add.at(deg, b, w)
+    vals = np.concatenate([-deg / 4.0, w / 4.0])
+    orow, ocol, oval = _coo_dedup(rows, cols, vals, n)
+    keep = oval != 0.0
+    blk = SDPBlockData(
+        dim=n, m=n,
+        obj_row=orow[keep], obj_col=ocol[keep], obj_val=oval[keep],
+        a_con=np.arange(n, dtype=np.int32),
+        a_row=np.arange(n, dtype=np.int32),
+        a_col=np.arange(n, dtype=np.int32),
+        a_val=np.ones(n),
+    )
+    return SDPProblem(m=n, rhs=np.ones(n), blocks=[blk])
+
+
+def theta_from_graph(path: str) -> SDPProblem:
+    """Lovász theta SDP from a rudy/G-set graph file (see read_graph):
+    max <J, X> s.t. X_ij = 0 on edges, tr X = 1 (minimized as C=-J)."""
+    n, a, b, _ = read_graph(path)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    key = np.unique(hi.astype(np.int64) * n + lo)
+    a = (key // n).astype(np.int32)
+    b = (key % n).astype(np.int32)
+    n_e = a.size
+    orow, ocol = np.tril_indices(n)
+    blk = SDPBlockData(
+        dim=n, m=n_e + 1,
+        obj_row=orow.astype(np.int32), obj_col=ocol.astype(np.int32),
+        obj_val=-np.ones(orow.size),
+        a_con=np.concatenate([np.arange(n_e),
+                              np.full(n, n_e)]).astype(np.int32),
+        a_row=np.concatenate([a, np.arange(n)]).astype(np.int32),
+        a_col=np.concatenate([b, np.arange(n)]).astype(np.int32),
+        a_val=np.concatenate([np.full(n_e, 0.5), np.ones(n)]),
+    )
+    rhs = np.zeros(n_e + 1)
+    rhs[n_e] = 1.0
+    return SDPProblem(m=n_e + 1, rhs=rhs, blocks=[blk])

@@ -127,3 +127,45 @@ def test_cli_bad_input_friendly_error(tmp_path, capsys):
     assert main([str(bad)]) == 2
     err = capsys.readouterr().err
     assert "error:" in err
+
+
+def test_gset_graph_reader(tmp_path):
+    # rudy/G-set format: "n m" header + 1-based "i j w" edge lines
+    from lorads_tpu.io import generators
+
+    g = tmp_path / "toy.rudy"
+    g.write_text("4 4\n1 2 1\n2 3 -1\n3 4 1\n1 4 1\n")
+    n, a, b, w = generators.read_graph(str(g))
+    assert n == 4 and a.size == 4
+    assert list(w) == [1.0, -1.0, 1.0, 1.0]
+
+    prob = generators.maxcut_from_graph(str(g))
+    assert prob.m == 4 and prob.blocks[0].dim == 4
+    # diagonal of C = -(signed degree)/4
+    import numpy as np
+    Cd = prob.blocks[0].dense_obj()
+    np.testing.assert_allclose(np.diag(Cd), [-0.5, 0.0, 0.0, -0.5])
+
+    th = generators.theta_from_graph(str(g))
+    assert th.m == 5            # 4 edges + trace
+    assert th.rhs[-1] == 1.0
+
+
+def test_gset_maxcut_solves(tmp_path):
+    import numpy as np
+    from lorads_tpu import LoradsParams
+    from lorads_tpu.alg.solver import LoradsSolver
+    from lorads_tpu.io import generators
+
+    rng = np.random.default_rng(3)
+    n, ne = 120, 360
+    a = rng.integers(0, n, ne)
+    b = rng.integers(0, n, ne)
+    keep = a != b
+    lines = [f"{n} {keep.sum()}"] + [
+        f"{i+1} {j+1} 1" for i, j in zip(a[keep], b[keep])]
+    g = tmp_path / "rand.rudy"
+    g.write_text("\n".join(lines) + "\n")
+    prob = generators.maxcut_from_graph(str(g))
+    res = LoradsSolver(prob, LoradsParams(verbose=False)).solve()
+    assert res.pinf_l1 <= 1e-5 and res.gap <= 5e-5
