@@ -26,7 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rhoCellingADMM", type=float, default=1e6)
     p.add_argument("--maxALMIter", type=int, default=200)
     p.add_argument("--maxADMMIter", type=int, default=10000)
-    p.add_argument("--timesLogRank", type=float, default=2.0)
+    p.add_argument("--timesLogRank", type=float, default=None,
+                   help="rank = ceil(timesLogRank * ln n) (reference"
+                        " default 2.0; unset -> structure-based auto)")
     p.add_argument("--rhoFreq", type=int, default=5)
     p.add_argument("--rhoFactor", type=float, default=1.2)
     p.add_argument("--ALMRhoFactor", type=float, default=None,

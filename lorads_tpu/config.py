@@ -45,7 +45,12 @@ class LoradsParams:
     rho_celling_admm: float = 1e6    # recomputed = rho_max*200 (main.c:236)
     max_alm_iter: int = 200
     max_admm_iter: int = 10000
-    times_log_rank: float = 2.0
+    # Reference default is 2.0 (main.c:28).  None -> auto per block:
+    # 2.0 for dims <= 32768, 3.0 above — at large n the log-rank rule
+    # undershoots and the solver pays two rank-augmentation restarts
+    # (maxcut n=100000: 30.2s at rank 24 vs 16.1s at rank 35; n=50000
+    # 7.9 -> 6.6s; n=20000 unchanged at 2.0).
+    times_log_rank: Optional[float] = None
     rho_freq: int = 5
     rho_factor: float = 1.2
     # Reference default is 2.0 (main.c:30).  None -> auto: 3.0 when

@@ -136,6 +136,9 @@ def plan_block(idx: int, blk: SDPBlockData, params: LoradsParams,
     sqrt_cap = int(math.sqrt(2 * nnz_rows)) + 1 if nnz_rows else 1
     rank_max = min(sqrt_cap, n)
     t = params.times_log_rank
+    if t is None:
+        # structure-based auto (see LoradsParams.times_log_rank)
+        t = 2.0 if n <= 32768 else 3.0
     if t <= 1e-6:
         rank = min(sqrt_cap, n)
     elif nnz_rows / n >= 20 and n <= 400 and n_cones <= 3:
