@@ -222,3 +222,80 @@ def test_lbfgs_length_auto_by_structure():
     assert LoradsSolver(th, LoradsParams(verbose=False)).lbfgs_len == 2
     assert LoradsSolver(
         th, LoradsParams(verbose=False, lbfgs_list_length=5)).lbfgs_len == 5
+
+
+def _random_bounded_problem(seed):
+    """Random mixed instance: 1-3 blocks of random dim (down to 1),
+    ragged constraint coverage, optional LP block, plus a per-block
+    trace constraint for boundedness; rhs from a random interior
+    PSD point so the instance is feasible."""
+    import numpy as np
+
+    from lorads_tpu.core.problem import (LPBlockData, SDPBlockData,
+                                         SDPProblem)
+
+    r = np.random.default_rng(seed)
+    nb = int(r.integers(1, 4))
+    m_rand = int(r.integers(1, 15))
+    m = m_rand + nb
+    blocks, X_point = [], []
+    for bi in range(nb):
+        dim = int(r.integers(1, 24))
+        tri_r, tri_c = np.tril_indices(dim)
+        no = int(r.integers(0, tri_r.size)) + 1
+        oi = r.choice(tri_r.size, size=no, replace=False)
+        a_con, a_row, a_col, a_val = [], [], [], []
+        for i in range(m_rand):
+            if r.random() < 0.25:
+                continue
+            ne = int(r.integers(1, min(6, tri_r.size) + 1))
+            ei = r.choice(tri_r.size, size=ne, replace=False)
+            a_con += [i] * ne
+            a_row += list(tri_r[ei])
+            a_col += list(tri_c[ei])
+            a_val += list(r.standard_normal(ne))
+        a_con += [m_rand + bi] * dim
+        a_row += list(range(dim))
+        a_col += list(range(dim))
+        a_val += [1.0] * dim
+        blocks.append(SDPBlockData(
+            dim=dim, m=m,
+            obj_row=tri_r[oi].astype(np.int32),
+            obj_col=tri_c[oi].astype(np.int32),
+            obj_val=r.standard_normal(no),
+            a_con=np.asarray(a_con, np.int32),
+            a_row=np.asarray(a_row, np.int32),
+            a_col=np.asarray(a_col, np.int32),
+            a_val=np.asarray(a_val)))
+        G = r.standard_normal((dim, dim))
+        X_point.append(G @ G.T / dim)
+    lp = None
+    if r.random() < 0.4:
+        ncol = int(r.integers(1, 6))
+        nnz = int(r.integers(1, 3 * ncol + 1))
+        lp = LPBlockData(
+            n_cols=ncol, m=m, obj=np.abs(r.standard_normal(ncol)),
+            a_con=r.integers(0, max(m_rand, 1), nnz).astype(np.int32),
+            a_col=r.integers(0, ncol, nnz).astype(np.int32),
+            a_val=r.standard_normal(nnz))
+    rhs = np.zeros(m)
+    for b, Xb in zip(blocks, X_point):
+        for i, a, bb, v in zip(b.a_con, b.a_row, b.a_col, b.a_val):
+            rhs[i] += v * Xb[a, bb] * (1 if a == bb else 2)
+    if lp is not None:
+        x = np.abs(r.standard_normal(lp.n_cols))
+        for c_, col, v in zip(lp.a_con, lp.a_col, lp.a_val):
+            rhs[c_] += v * x[col]
+    return SDPProblem(m=m, rhs=rhs, blocks=blocks, lp=lp)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 5, 11])
+def test_random_mixed_instances_certify(seed):
+    # robustness sweep: random block dims (incl. dim 1), constraints
+    # skipping blocks, LP blocks — all must reach full certification
+    # (12-seed sweep ran clean; these 4 are the committed sample)
+    prob = _random_bounded_problem(seed)
+    res = LoradsSolver(prob, LoradsParams(verbose=False,
+                                          time_sec_limit=60)).solve()
+    assert res.pinf_l1 <= 1e-4
+    assert res.status.value == "primal_dual_optimal"
