@@ -169,3 +169,28 @@ def test_gset_maxcut_solves(tmp_path):
     prob = generators.maxcut_from_graph(str(g))
     res = LoradsSolver(prob, LoradsParams(verbose=False)).solve()
     assert res.pinf_l1 <= 1e-5 and res.gap <= 5e-5
+
+
+def test_cli_end_to_end_flags(tmp_path, capsys):
+    # full CLI wiring: every flag group exercised in-process, incl.
+    # auto-default flags left unset, explicit reference values, dualUV,
+    # and checkpoint save + resume
+    from lorads_tpu.__main__ import main
+    from lorads_tpu.io import generators
+    from lorads_tpu.io.sdpa import write_sdpa
+
+    f = tmp_path / "mc.dat-s"
+    write_sdpa(str(f), generators.maxcut(n=40, avg_degree=4, seed=2))
+
+    assert main([str(f), "--quiet"]) == 0
+    out = capsys.readouterr().out
+    assert "primal_dual_optimal" in out and "Constraint Violation" in out
+
+    ck = tmp_path / "state.ckpt"
+    assert main([str(f), "--quiet", "--timesLogRank", "2.0",
+                 "--ALMRhoFactor", "2.0", "--lbfgsListLength", "2",
+                 "--dualUV", "1", "--checkpoint", str(ck)]) == 0
+    assert ck.exists()
+    assert main([str(f), "--quiet", "--resume", str(ck)]) == 0
+    out = capsys.readouterr().out
+    assert "resumed from" in out
