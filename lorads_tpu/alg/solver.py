@@ -524,6 +524,29 @@ class LoradsSolver:
     # Checkpoint / resume (no reference counterpart; SURVEY.md §5).
     # ------------------------------------------------------------------
 
+    def x_blocks(self, R: Optional[FactorVec] = None):
+        """Reconstruct the primal solution: dense X_i = R_i R_i^T per
+        SDP block (in ORIGINAL block order) plus the LP column values.
+
+        The reference never materializes X (it only reports DIMACS);
+        this is an extraction convenience on top of the factors the
+        solver already returns (SolveResult.R holds the averaged
+        factors, X = R R^T).  Returns (list of [dim_i, dim_i] float64
+        arrays, lp values or None).
+        """
+        R = R if R is not None else self.R
+        out = [None] * len(self.ps.plans)
+        for bp, Rb in zip(self.ps.buckets, R.cones):
+            Rh = np.asarray(Rb, dtype=np.float64)
+            for j, plan in enumerate(bp.plans):
+                F = Rh[j, : plan.dim]
+                out[plan.index] = F @ F.T
+        lp_vals = None
+        if self.pd.lp is not None:
+            u = np.asarray(R.lp, dtype=np.float64)
+            lp_vals = u * u
+        return out, lp_vals
+
     def save(self, path: str, alm_stats=None, admm_stats=None,
              phase: str = "alm") -> None:
         from lorads_tpu.utils.checkpoint import save_checkpoint

@@ -299,3 +299,39 @@ def test_random_mixed_instances_certify(seed):
                                           time_sec_limit=60)).solve()
     assert res.pinf_l1 <= 1e-4
     assert res.status.value == "primal_dual_optimal"
+
+
+def test_x_blocks_reconstruction():
+    # primal extraction: X_i = R_i R_i^T satisfies the constraints and
+    # reproduces the reported objective, in original block order
+    import numpy as np
+
+    problem = generators.random_multiblock(n_blocks=3, dim=10, m=8,
+                                           n_lp=3, seed=5)
+    s = LoradsSolver(problem, LoradsParams(verbose=False))
+    res = s.solve()
+    xs, lp_vals = s.x_blocks(res.R)
+    assert len(xs) == 3 and lp_vals.shape == (3,)
+    pobj = 0.0
+    av = np.zeros(problem.m)
+    for blk, X in zip(problem.blocks, xs):
+        assert X.shape == (blk.dim, blk.dim)
+        # PSD by construction; symmetric
+        np.testing.assert_allclose(X, X.T, atol=1e-12)
+        pobj += np.sum(blk.dense_obj() * X)
+        for i in range(problem.m):
+            av[i] += np.sum(blk.dense_constr(i) * X)
+    pobj += float(np.dot(problem.lp.obj, lp_vals))
+    A = problem.lp.dense_matrix()
+    av += A @ lp_vals
+    assert np.linalg.norm(av - problem.rhs) / (1 + np.linalg.norm(
+        problem.rhs, 1)) <= 1e-4
+    assert pobj == pytest.approx(res.pobj, rel=1e-5, abs=1e-6)
+
+
+def test_high_acc_mode_end_to_end():
+    problem = generators.maxcut(n=150, avg_degree=4, seed=8)
+    res = LoradsSolver(problem, LoradsParams(
+        verbose=False, high_acc_mode=True)).solve()
+    assert res.pinf_l1 <= 1e-5
+    assert res.status.value == "primal_dual_optimal"
