@@ -176,8 +176,36 @@ def _diag_fast(bk) -> bool:
     pure diagonal identities (A_i = a_i e_i e_i^T), so A(.) / A^*(.)
     are elementwise and the only sparse work per iteration is one
     C @ D product.  The cache then holds CR = C @ R instead of
-    gathered pattern rows."""
-    return bk.split and bk.diag_ident and not bk.summed
+    gathered pattern rows.  Also applies to summed (pattern-sharded)
+    buckets whose PARENT cone is diag-identity (bk.diag_parent): the
+    C @ D partials psum over shards inside cmul, and the diagonal map
+    is the replicated a_val_d_full."""
+    return bk.split and ((bk.diag_ident and not bk.summed)
+                         or bk.diag_parent)
+
+
+def _adiag(bk):
+    """Diagonal constraint coefficients aligned to rows: [B, n] for
+    plain diag-identity buckets, the replicated [1, n] full map for
+    summed diag-parent shards."""
+    return bk.a_val_d_full[:1] if bk.diag_parent else bk.a_val_d
+
+
+def _scatter_diag(bk, vals):
+    """Scatter replicated diag-fast constraint values [B or 1, m_loc]
+    into the global m-vector (no per-shard partial sum needed: the
+    values are computed once from the replicated factors)."""
+    if bk.diag_parent:
+        return jax.ops.segment_sum(
+            vals[0], bk.glob_idx[0],
+            num_segments=bk.m_glob + 1)[: bk.m_glob]
+    return pat.scatter_constr(bk, vals)
+
+
+def _wloc_diag(bk, w_loc):
+    """First-shard slice of gather_w output for summed diag-parent
+    buckets (the gathered values are replicated across shards)."""
+    return w_loc[:1] if bk.diag_parent else w_loc
 
 
 @jax.tree_util.register_dataclass
@@ -226,10 +254,10 @@ def obj_and_auv_pair_cached(pd: ProblemData, R: FactorVec, D: FactorVec,
             dcaches.append(CRCache(cd))
             p1 = p1 + 0.5 * (jnp.sum(Rb * cd) + jnp.sum(Db * cr))
             p2 = p2 + jnp.sum(Db * cd)
-            t1 = t1 + pat.scatter_constr(
-                bk, bk.a_val_d * jnp.sum(Rb * Db, -1))
-            t2 = t2 + pat.scatter_constr(
-                bk, bk.a_val_d * jnp.sum(Db * Db, -1))
+            t1 = t1 + _scatter_diag(
+                bk, _adiag(bk) * jnp.sum(Rb * Db, -1))
+            t2 = t2 + _scatter_diag(
+                bk, _adiag(bk) * jnp.sum(Db * Db, -1))
             continue
         (uv_rd, uv_dd), dc = pat.uvt_pair_cached(bk, Rb, Db, cache)
         dcaches.append(dc)
@@ -252,8 +280,8 @@ def auv_cached(pd: ProblemData, R: FactorVec, caches):
     total = jnp.zeros((pd.m,), dtype=pd.rhs.dtype)
     for bk, Rb, cache in zip(pd.buckets, R.cones, caches):
         if isinstance(cache, CRCache):
-            total = total + pat.scatter_constr(
-                bk, bk.a_val_d * jnp.sum(Rb * Rb, -1))
+            total = total + _scatter_diag(
+                bk, _adiag(bk) * jnp.sum(Rb * Rb, -1))
             continue
         vals = pat.constr_vals(bk, pat.uvt_from_cache(bk, Rb, cache))
         total = total + pat.scatter_constr(bk, vals)
@@ -270,9 +298,9 @@ def obj_and_auv_cached(pd: ProblemData, R: FactorVec, caches):
     for bk, Rb, cache in zip(pd.buckets, R.cones, caches):
         if isinstance(cache, CRCache):
             obj = obj + jnp.sum(Rb * cache.cr)       # <R, CR>
-            vals = bk.a_val_d * jnp.sum(Rb * Rb, -1)
+            vals = _adiag(bk) * jnp.sum(Rb * Rb, -1)
             locals_.append(vals)
-            total = total + pat.scatter_constr(bk, vals)
+            total = total + _scatter_diag(bk, vals)
             continue
         uv = pat.uvt_from_cache(bk, Rb, cache)
         obj = obj + jnp.sum(pat.obj_inner(bk, uv))
@@ -309,7 +337,8 @@ def grad_cached(pd: ProblemData, R: FactorVec, w: jnp.ndarray,
         if isinstance(cache, CRCache):
             # A^*(w) is diagonal: grad = 2 (CR + (w a_d) . R)
             cones.append(2.0 * (
-                cache.cr + (bk.a_val_d * w_loc)[:, :, None] * Rb))
+                cache.cr + (_adiag(bk)
+                            * _wloc_diag(bk, w_loc))[:, :, None] * Rb))
             continue
         W = pat.build_w(bk, w_loc)
         cones.append(2.0 * pat.w_mul_cached(bk, W, Rb, cache))
@@ -332,7 +361,8 @@ def grad(pd: ProblemData, R: FactorVec, w: jnp.ndarray) -> FactorVec:
         if _diag_fast(bk):
             cones.append(2.0 * (
                 pat.cmul(bk, Rb)
-                + (bk.a_val_d * w_loc)[:, :, None] * Rb))
+                + (_adiag(bk)
+                   * _wloc_diag(bk, w_loc))[:, :, None] * Rb))
             continue
         W = pat.build_w(bk, w_loc)
         cones.append(2.0 * pat.w_mul(bk, W, Rb))

@@ -230,6 +230,14 @@ class BucketData:
                                     metadata=dict(static=True))
     diag_ident: bool = dataclasses.field(default=False,
                                          metadata=dict(static=True))
+    # summed (pattern-sharded) bucket whose PARENT cone is
+    # diag-identity: per-shard diag_ident is necessarily False (each
+    # shard holds a slice of the diagonal), but the aop diag-fast path
+    # still applies with the replicated full diagonal map below
+    diag_parent: bool = dataclasses.field(default=False,
+                                          metadata=dict(static=True))
+    a_val_d_full: jnp.ndarray = None  # [B, n] full diag coefficients
+    #                                   (replicated copies per shard)
     has_diag_a: bool = dataclasses.field(default=False,
                                          metadata=dict(static=True))
     has_off_a: bool = dataclasses.field(default=False,

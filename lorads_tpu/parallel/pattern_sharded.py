@@ -92,7 +92,30 @@ def build_pattern_shards(plan: BlockPlan, m_glob: int, n_devices: int,
             == np.take_along_axis(pat_cols, a_pos_l, 1), 1.0, 2.0),
         glob_idx=np.tile(plan.loc2glob, (D, 1)).astype(np.int32),
     )
-    return pat.build_bucket_data(bp, m_glob, dtype, summed=summed)
+    bk = pat.build_bucket_data(bp, m_glob, dtype, summed=summed)
+    if summed:
+        # parent-cone diag-identity detection (constraint i == diagonal
+        # entry i): per-shard diag_ident is False by construction, but
+        # the aop diag-fast path still applies with a replicated full
+        # diagonal map (see BucketData.diag_parent)
+        n = plan.dim
+        er = plan.pat_rows[plan.a_pos]
+        ec = plan.pat_cols[plan.a_pos]
+        is_d = er == ec
+        ident = (plan.m_loc == n and plan.nnz_a == n
+                 and bool(np.all(is_d))
+                 and bool(np.all(np.sort(plan.a_con_loc) == np.arange(n)))
+                 and bool(np.all(er[np.argsort(plan.a_con_loc,
+                                               kind="stable")]
+                                 == np.arange(n))))
+        if ident:
+            full = np.zeros(n)
+            full[plan.a_con_loc] = plan.a_val
+            import dataclasses as _dc
+            bk = _dc.replace(
+                bk, diag_parent=True,
+                a_val_d_full=jnp.asarray(np.tile(full, (D, 1)), dtype))
+    return bk
 
 
 def make_sharded_gradient(mesh: Mesh, bk: pat.BucketData, rhs,

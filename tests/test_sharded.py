@@ -165,8 +165,11 @@ def test_summed_bucket_semantics_match_unsharded():
                                np.asarray(g.cones[0]),
                                rtol=1e-11, atol=1e-11)
 
-    # cached variants
+    # cached variants — the summed maxcut bucket must take the
+    # diag-parent CR-cache fast path
+    assert bk_sh.diag_parent
     ca = aop.gather_caches(pd_sh, R)
+    assert isinstance(ca[0], aop.CRCache)
     np.testing.assert_allclose(
         np.asarray(aop.auv_cached(pd_sh, R, ca)), np.asarray(tot),
         rtol=1e-12, atol=1e-12)
