@@ -1,8 +1,10 @@
 """Multi-device execution of the solver building blocks.
 
-Demonstrates both sharding modes on a virtual 8-device CPU mesh:
+Demonstrates the three sharding modes on a virtual 8-device CPU mesh:
   * dp — cone blocks spread over devices (multi-block problems)
   * sp — one big cone with its union pattern spread over devices
+  * tp — one big dense cone with its O(n^2) intermediates sharded by
+         row slab (distributed dsyr2k/dsymm)
 
 Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
@@ -60,6 +62,26 @@ def sp_pattern(n_devices):
           f"{n_devices} devices; grad cert = {float(cert):.3e}")
 
 
+def tp_row_slab(n_devices):
+    """Row-slab tensor parallelism for a single large dense cone."""
+    from lorads_tpu.parallel import row_sharded as rsh
+
+    problem = generators.random_multiblock(n_blocks=1, dim=18, m=14,
+                                           density=0.6, seed=11)
+    solver = LoradsSolver(problem, LoradsParams(verbose=False))
+    plan = solver.ps.plans[0]
+    rs = rsh.build_row_shards(plan, problem.m, n_devices, solver.dtype)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:n_devices]),
+                             (rsh.AXIS,))
+    step = rsh.make_row_sharded_gradient(mesh, rs, solver.pd.rhs,
+                                         solver.pd.c_nrm_inf)
+    total, grad, cert = step(rs, solver.R.cones[0][0], solver.pd.rhs,
+                             solver.dual,
+                             jnp.asarray(1.0, solver.dtype))
+    print(f"tp: dense cone rows slabbed over {n_devices} devices; "
+          f"grad {grad.shape}, cert = {float(cert):.3e}")
+
+
 def integrated_solves(n_devices):
     """Full two-phase solves with the solver's own sharding modes."""
     # dp: bucket block axis over the mesh
@@ -82,4 +104,5 @@ if __name__ == "__main__":
     n = min(8, len(jax.devices()))
     dp_blocks(n)
     sp_pattern(n)
+    tp_row_slab(n)
     integrated_solves(n)
