@@ -73,8 +73,7 @@ def tp_row_slab(n_devices):
     rs = rsh.build_row_shards(plan, problem.m, n_devices, solver.dtype)
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:n_devices]),
                              (rsh.AXIS,))
-    step = rsh.make_row_sharded_gradient(mesh, rs, solver.pd.rhs,
-                                         solver.pd.c_nrm_inf)
+    step = rsh.make_row_sharded_gradient(mesh, rs, solver.pd.c_nrm_inf)
     total, grad, cert = step(rs, solver.R.cones[0][0], solver.pd.rhs,
                              solver.dual,
                              jnp.asarray(1.0, solver.dtype))

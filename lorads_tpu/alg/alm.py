@@ -677,7 +677,9 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
     if not reopt:
         # None-safe: LoradsSolver resolves the auto default before
         # calling in; direct callers get the reference 2.0
-        rho_update_factor = params.alm_rho_factor or 2.0
+        rho_update_factor = (params.alm_rho_factor
+                             if params.alm_rho_factor is not None
+                             else 2.0)
     rho_factor_flag = 0
     k0 = stats.outer_iter
 

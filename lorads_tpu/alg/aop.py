@@ -74,6 +74,10 @@ def scale_bucket(bk, s: float):
     if bk.split:
         repl.update(c_diag=bk.c_diag * s, c_off=bk.c_off * s,
                     c_off2=bk.c_off2 * s, c_off_cp=bk.c_off_cp * s)
+        if bk.c_sym_rs is not None:
+            # the full-symmetric C plane consumed by cmul (diag-fast
+            # path) must scale with the rest of the objective
+            repl.update(c_sym_rs=bk.c_sym_rs * s)
     return dataclasses.replace(bk, **repl)
 
 

@@ -296,7 +296,8 @@ class LoradsSolver:
                   reopt: bool = False, early_stop: bool = True,
                   rho_update_factor: Optional[float] = None,
                   max_alm_iter: Optional[int] = None) -> str:
-        factor = rho_update_factor or self.params.alm_rho_factor
+        factor = (rho_update_factor if rho_update_factor is not None
+                  else self.params.alm_rho_factor)
         while True:
             res = alm_mod.alm_optimize(
                 self.pd, self.params, self.R, self.dual, self.hist, stats,

@@ -232,6 +232,11 @@ def read_graph(path: str):
     a = np.asarray(rows, dtype=np.int32)
     b = np.asarray(cols, dtype=np.int32)
     w = np.asarray(vals, dtype=np.float64)
+    if a.size and (a.min() < 0 or b.min() < 0 or a.max() >= n
+                   or b.max() >= n):
+        raise ValueError(
+            f"{path}: vertex index out of range 1..{n} "
+            "(G-set files are 1-based)")
     return n, a, b, w
 
 

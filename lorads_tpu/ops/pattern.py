@@ -330,7 +330,8 @@ def _bounds_np(ids: np.ndarray, S: int) -> jnp.ndarray:
 
 
 def _build_split_fields(bp: BucketPlan, dtype,
-                        want_bounds: bool = True) -> dict:
+                        want_bounds: bool = True,
+                        want_sym: bool = False) -> dict:
     """Host construction of the diag/offdiag split arrays (sparse mode).
 
     See BucketData.split.  Also detects the diag-identity structure
@@ -413,33 +414,40 @@ def _build_split_fields(bp: BucketPlan, dtype,
     a_pos_o_co = ta(inv_cp, a_pos_o, 1)
     pco = np.argsort(a_pos_o_co, axis=1, kind="stable")
 
-    # full-symmetric C entries (lower + mirror) sorted by row, padded
-    # per block; pad slots carry (row 0, col 0, value 0) — harmless
-    Ks = max(2 * max(o[0].size for o in per_off), 1)
-    sym_rows = np.zeros((B, Ks), np.int64)
-    sym_cols = np.zeros((B, Ks), np.int64)
-    sym_vals = np.zeros((B, Ks))
-    for b, (orow, ocol, oval) in enumerate(per_off):
-        k2 = 2 * orow.size
-        sr = np.concatenate([orow, ocol])
-        sc = np.concatenate([ocol, orow])
-        sv = np.concatenate([oval, oval])
-        o_rs = np.argsort(sr, kind="stable")
-        sym_rows[b, :k2] = sr[o_rs]
-        sym_cols[b, :k2] = sc[o_rs]
-        sym_vals[b, :k2] = sv[o_rs]
-        # keep padding sorted too (zeros sort to the front)
-        row_sorted = np.argsort(sym_rows[b], kind="stable")
-        sym_rows[b] = sym_rows[b][row_sorted]
-        sym_cols[b] = sym_cols[b][row_sorted]
-        sym_vals[b] = sym_vals[b][row_sorted]
-
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+
+    # full-symmetric C entries (lower + mirror) sorted by row, padded
+    # per block; pad slots carry (row 0, col 0, value 0) — harmless.
+    # Only consumed by cmul (the diag-identity / diag-parent fast
+    # path), so only built where that path can run.
+    sym_fields = dict(Ks=0)
+    if ident or want_sym:
+        Ks = max(2 * max(o[0].size for o in per_off), 1)
+        sym_rows = np.zeros((B, Ks), np.int64)
+        sym_cols = np.zeros((B, Ks), np.int64)
+        sym_vals = np.zeros((B, Ks))
+        for b, (orow, ocol, oval) in enumerate(per_off):
+            k2 = 2 * orow.size
+            sr = np.concatenate([orow, ocol])
+            sc = np.concatenate([ocol, orow])
+            sv = np.concatenate([oval, oval])
+            o_rs = np.argsort(sr, kind="stable")
+            sym_rows[b, :k2] = sr[o_rs]
+            sym_cols[b, :k2] = sc[o_rs]
+            sym_vals[b, :k2] = sv[o_rs]
+            # keep padding sorted too (zero pad rows sort to the front)
+            row_sorted = np.argsort(sym_rows[b], kind="stable")
+            sym_rows[b] = sym_rows[b][row_sorted]
+            sym_cols[b] = sym_cols[b][row_sorted]
+            sym_vals[b] = sym_vals[b][row_sorted]
+        sym_fields = dict(
+            Ks=Ks, sym_rows_rs=i32(sym_rows), sym_cols_rs=i32(sym_cols),
+            c_sym_rs=f(sym_vals), bnd_sym_rows=_bounds_np(sym_rows, n))
+
     return dict(
         split=True, diag_ident=bool(ident), Ko=Ko, nnz_d=nnz_d,
-        Ks=Ks, sym_rows_rs=i32(sym_rows), sym_cols_rs=i32(sym_cols),
-        c_sym_rs=f(sym_vals), bnd_sym_rows=_bounds_np(sym_rows, n),
+        **sym_fields,
         nnz_o=nnz_o,
         has_diag_a=any(a[0].size for a in per_ad),
         has_off_a=any(a[0].size for a in per_ao),
@@ -591,7 +599,8 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
         # keep only placeholders for the union fields (the sharded
         # builders construct their own non-split BucketData)
         split_fields = _build_split_fields(bp, dtype,
-                                           want_bounds=want_bounds)
+                                           want_bounds=want_bounds,
+                                           want_sym=summed)
         return BucketData(
             dense=False, n=n, K=K, nnz_a=bp.nnz_a, m_loc=bp.m_loc, B=B,
             m_glob=m_glob,

@@ -74,6 +74,12 @@ def build_row_shards(plan: BlockPlan, m_glob: int, n_devices: int,
     """
     n, D = plan.dim, n_devices
     n_loc = -(-n // D)
+    if n_loc * n >= 2 ** 31:
+        # a_lin = local_row * n + col is int32 on device (x64 is off
+        # in f32 production mode); refuse rather than wrap silently
+        raise ValueError(
+            f"row-slab linear indices overflow int32 (n_loc*n = "
+            f"{n_loc * n:.3g}); use more devices so n/D * n < 2^31")
 
     # full symmetric entry lists (entry rows decide the owning device)
     er = plan.pat_rows[plan.a_pos]
@@ -162,7 +168,7 @@ def slab_build_w(rs: RowShardData, w_loc: jnp.ndarray, a_lin, a_con,
     return c_slab + W if include_obj else W
 
 
-def make_row_sharded_gradient(mesh: Mesh, rs: RowShardData, rhs,
+def make_row_sharded_gradient(mesh: Mesh, rs: RowShardData,
                               c_nrm_inf: float):
     """Row-sharded ALM gradient step for one large dense cone:
 
@@ -189,8 +195,7 @@ def make_row_sharded_gradient(mesh: Mesh, rs: RowShardData, rhs,
         total = jax.ops.segment_sum(
             vals, l2g, num_segments=rs.m_glob + 1)[: rs.m_glob]
         w = rho_ * (total - rhs_) - dual_
-        w1 = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])
-        W = slab_build_w(rs, w1[l2g], a_lin, a_con, a_val, c_slab)
+        W = slab_build_w(rs, w[l2g], a_lin, a_con, a_val, c_slab)
         # row-sharded dsymm: W_slab @ U -> disjoint grad rows
         g_loc = 2.0 * jnp.einsum(
             "kn,nr->kr", W, U, precision=jax.lax.Precision.HIGHEST,

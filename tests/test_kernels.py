@@ -443,3 +443,33 @@ def test_cmul_f32_cumsum_accuracy():
     ref = np.asarray(pat.cmul(bk64, jnp.asarray(X)))
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() <= 5e-5 * scale
+
+
+def test_scale_objective_scales_cmul_plane():
+    # regression: scale_objective missed c_sym_rs (the full-symmetric
+    # C plane consumed by the diag-fast cmul), so reopt's objective
+    # rescale left the CR cache computing with unscaled off-diagonals
+    from lorads_tpu.alg import aop
+
+    problem = generators.maxcut(n=200, avg_degree=4, seed=5)
+    ps = presolve(problem, LoradsParams(), group=True)
+    pd = aop.scale_objective(aop.build_problem_data(ps, jnp.float64), 5.0)
+    rng = np.random.default_rng(1)
+    from lorads_tpu.alg.state import FactorVec
+    R = FactorVec((jnp.asarray(rng.standard_normal((1, 200, 6))),),
+                  jnp.zeros((0,)))
+    ca = aop.gather_caches(pd, R)
+    assert isinstance(ca[0], aop.CRCache)
+    obj_fast = float(aop.obj_cached(pd, R, ca))
+    obj_ref = float(aop.obj_only(pd, R, R))
+    assert obj_fast == pytest.approx(obj_ref, rel=1e-11)
+    w = jnp.asarray(rng.standard_normal(problem.m))
+    g_fast = aop.grad_cached(pd, R, w, ca)
+    g_ref = aop.grad(pd, R, w)   # grad also uses cmul; compare to w_mul
+    from lorads_tpu.ops import pattern as pat
+    bk = pd.buckets[0]
+    W = pat.build_w(bk, pat.gather_w(bk, w))
+    g_oracle = 2.0 * pat.w_mul(bk, W, R.cones[0])
+    np.testing.assert_allclose(np.asarray(g_fast.cones[0]),
+                               np.asarray(g_oracle), rtol=1e-11,
+                               atol=1e-11)

@@ -289,8 +289,7 @@ def test_row_sharded_gradient_matches(eight_devices):
 
     rs = rsh.build_row_shards(plan, problem.m, 8, solver.dtype)
     mesh = jax.sharding.Mesh(np.array(eight_devices), (rsh.AXIS,))
-    step = rsh.make_row_sharded_gradient(mesh, rs, solver.pd.rhs,
-                                         solver.pd.c_nrm_inf)
+    step = rsh.make_row_sharded_gradient(mesh, rs, solver.pd.c_nrm_inf)
     rho = jnp.asarray(1.7, solver.dtype)
     dual = jnp.asarray(np.random.default_rng(0).standard_normal(
         problem.m), solver.dtype)
