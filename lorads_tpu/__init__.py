@@ -54,7 +54,8 @@ if not _os.environ.get("LORADS_TPU_NO_COMPILE_CACHE"):
         pass
 
 from lorads_tpu.config import LoradsParams, SolverStatus
-from lorads_tpu.core.problem import SDPProblem
+from lorads_tpu.core.problem import (SDPProblem, merge_problems,
+                                     split_objectives)
 from lorads_tpu.io.sdpa import read_sdpa, write_sdpa
 from lorads_tpu.alg.solver import LoradsSolver, solve
 
@@ -64,6 +65,8 @@ __all__ = [
     "LoradsParams",
     "SolverStatus",
     "SDPProblem",
+    "merge_problems",
+    "split_objectives",
     "read_sdpa",
     "write_sdpa",
     "LoradsSolver",

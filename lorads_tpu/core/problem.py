@@ -175,3 +175,75 @@ class SDPProblem:
 
     def rhs_nrm_inf(self) -> float:
         return float(np.max(np.abs(self.rhs))) if self.m else 0.0
+
+
+def merge_problems(problems: List["SDPProblem"]) -> "SDPProblem":
+    """Merge independent instances into one block-diagonal problem.
+
+    Constraint slots are offset per instance, so the instances stay
+    fully decoupled; same-shape blocks across instances land in the
+    same presolve bucket and the whole batch is solved as ONE
+    vectorized [B, n, r] program — batched instance solving is a
+    TPU capability with no reference counterpart (the reference
+    solves one instance per process).  Use ``split_objectives`` (or
+    ``LoradsSolver.x_blocks``) to read per-instance results back.
+    """
+    m_off = 0
+    blocks: List[SDPBlockData] = []
+    lp_parts = []
+    rhs = []
+    for p in problems:
+        for b in p.blocks:
+            blocks.append(SDPBlockData(
+                dim=b.dim, m=-1,
+                obj_row=b.obj_row, obj_col=b.obj_col, obj_val=b.obj_val,
+                a_con=b.a_con + m_off, a_row=b.a_row, a_col=b.a_col,
+                a_val=b.a_val))
+        if p.lp is not None:
+            lp_parts.append((m_off, p.lp))
+        rhs.append(p.rhs)
+        m_off += p.m
+    m = m_off
+    for b in blocks:
+        b.m = m
+    lp = None
+    if lp_parts:
+        col_off = 0
+        obj, a_con, a_col, a_val = [], [], [], []
+        for off, part in lp_parts:
+            obj.append(part.obj)
+            a_con.append(part.a_con + off)
+            a_col.append(part.a_col + col_off)
+            a_val.append(part.a_val)
+            col_off += part.n_cols
+        lp = LPBlockData(
+            n_cols=col_off, m=m,
+            obj=np.concatenate(obj),
+            a_con=np.concatenate(a_con).astype(np.int32),
+            a_col=np.concatenate(a_col).astype(np.int32),
+            a_val=np.concatenate(a_val))
+    return SDPProblem(m=m, rhs=np.concatenate(rhs), blocks=blocks,
+                      lp=lp)
+
+
+def split_objectives(problems: List["SDPProblem"], x_blocks,
+                     lp_vals=None) -> List[float]:
+    """Per-instance objectives of a merged-batch solution.
+
+    ``x_blocks``: dense primal blocks of the MERGED problem in merged
+    block order (LoradsSolver.x_blocks output); ``lp_vals``: merged LP
+    column values (or None)."""
+    out = []
+    bi = 0
+    ci = 0
+    for p in problems:
+        obj = 0.0
+        for b in p.blocks:
+            obj += float(np.sum(b.dense_obj() * x_blocks[bi]))
+            bi += 1
+        if p.lp is not None:
+            obj += float(np.dot(p.lp.obj,
+                                lp_vals[ci:ci + p.lp.n_cols]))
+            ci += p.lp.n_cols
+        out.append(obj)
+    return out

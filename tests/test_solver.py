@@ -335,3 +335,24 @@ def test_high_acc_mode_end_to_end():
         verbose=False, high_acc_mode=True)).solve()
     assert res.pinf_l1 <= 1e-5
     assert res.status.value == "primal_dual_optimal"
+
+
+def test_batched_instance_solving():
+    # TPU-native batch solving: merge same-shape independent instances
+    # into one block-diagonal problem; per-instance objectives match
+    # the individual solves (they share one vectorized bucket)
+    from lorads_tpu.core.problem import merge_problems, split_objectives
+
+    probs = [generators.maxcut(n=60, avg_degree=5, seed=s)
+             for s in (1, 2, 3, 4)]
+    singles = [LoradsSolver(p, LoradsParams(verbose=False)).solve().pobj
+               for p in probs]
+    merged = merge_problems(probs)
+    s = LoradsSolver(merged, LoradsParams(verbose=False))
+    assert len(s.pd.buckets) == 1 and s.pd.buckets[0].B == 4
+    res = s.solve()
+    assert res.pinf_l1 <= 1e-5
+    xs, lp_vals = s.x_blocks(res.R)
+    objs = split_objectives(probs, xs, lp_vals)
+    for got, ref in zip(objs, singles):
+        assert got == pytest.approx(ref, rel=1e-4)
