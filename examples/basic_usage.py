@@ -50,6 +50,24 @@ def hand_built():
     return res
 
 
+def batched():
+    """Solve several same-shape instances as one vectorized batch."""
+    from lorads_tpu import LoradsParams, merge_problems, split_objectives
+    from lorads_tpu.alg.solver import LoradsSolver
+
+    probs = [generators.maxcut(n=120, avg_degree=5, seed=s)
+             for s in range(4)]
+    solver = LoradsSolver(merge_problems(probs),
+                          LoradsParams(verbose=False))
+    res = solver.solve()
+    xs, lp_vals = solver.x_blocks(res.R)
+    objs = split_objectives(probs, xs, lp_vals)
+    print("batched maxcut objectives:",
+          " ".join(f"{o:.4e}" for o in objs))
+    return objs
+
+
 if __name__ == "__main__":
     from_generator()
     hand_built()
+    batched()

@@ -756,7 +756,7 @@ def constr_vals(bk: BucketData, uvt_val) -> jnp.ndarray:
                                    sorted_ids=bk.a_con_d_sorted,
                                    bounds=bk.bnd_a_con_d)
     else:
-        vals = jnp.zeros((bk.B, bk.m_loc), dtype=d.dtype)
+        vals = jnp.zeros((d.shape[0], bk.m_loc), dtype=d.dtype)
     if bk.has_off_a:
         og = jnp.take_along_axis(o, bk.a_pos_o, axis=1) * (
             2.0 * bk.a_val_o)
@@ -845,7 +845,7 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
                                       bk.n, sorted_ids=True,
                                       bounds=bk.bnd_a_row_d_s)
         else:
-            W_d = jnp.zeros((bk.B, bk.n), dtype=w_loc.dtype)
+            W_d = jnp.zeros((w_loc.shape[0], bk.n), dtype=w_loc.dtype)
         if bk.has_off_a:
             wa_o = jnp.take_along_axis(w_loc, bk.a_con_o_s, axis=1)
             W_o = batched_segment_sum(bk.a_val_o_s * wa_o, bk.a_pos_o_s,
@@ -858,7 +858,7 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
                 bk.a_val_o_co_s * wa_oc, bk.a_pos_o_co_s, bk.Ko,
                 sorted_ids=True, bounds=bk.bnd_a_pos_o_co_s)
         else:
-            W_o = jnp.zeros((bk.B, bk.Ko), dtype=w_loc.dtype)
+            W_o = jnp.zeros((w_loc.shape[0], bk.Ko), dtype=w_loc.dtype)
             W_oc = W_o
         if include_obj:
             return bk.c_diag + W_d, bk.c_off + W_o, bk.c_off_cp + W_oc

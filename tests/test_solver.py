@@ -343,7 +343,11 @@ def test_batched_instance_solving():
     # the individual solves (they share one vectorized bucket)
     from lorads_tpu.core.problem import merge_problems, split_objectives
 
-    probs = [generators.maxcut(n=60, avg_degree=5, seed=s)
+    # n=120 puts the blocks in SPARSE diag-identity mode: the batch
+    # then exercises the Gauss-Seidel per-block bucket slicing in ADMM
+    # (regression: build_w/constr_vals zero planes were sized from the
+    # static bucket B instead of the runtime slice batch)
+    probs = [generators.maxcut(n=120, avg_degree=5, seed=s)
              for s in (1, 2, 3, 4)]
     singles = [LoradsSolver(p, LoradsParams(verbose=False)).solve().pobj
                for p in probs]
