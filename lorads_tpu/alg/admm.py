@@ -90,10 +90,17 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
         M2 = M2 + s_term
     rhs = -M2 / rho
 
+    fuse_adj = bk.split and bk.a_off_unique and not bk.summed
+
     def op(x):
-        vals = pat.cone_total(bk, pat.constr_vals(bk, pat.uvt_half_cached(
-            bk, x, fixed_var, fcache)))
-        Wop = pat.build_w(bk, vals, include_obj=False)
+        uv = pat.uvt_half_cached(bk, x, fixed_var, fcache)
+        if fuse_adj:
+            # A^*(A(.)) is slot-diagonal on the off pattern: skip the
+            # constraint-space round trip entirely (pattern.a_adj_a)
+            Wop = pat.a_adj_a(bk, uv)
+        else:
+            vals = pat.cone_total(bk, pat.constr_vals(bk, uv))
+            Wop = pat.build_w(bk, vals, include_obj=False)
         return x + pat.w_mul_cached(bk, Wop, fixed_var, fcache)
 
     new_var, iters = cg_solve(op, update_var, rhs, cg_tol, cg_max)

@@ -252,6 +252,14 @@ class BucketData:
     c_off: jnp.ndarray = None         # [B, Ko] C values at off entries
     c_off2: jnp.ndarray = None        # [B, Ko] = 2 * c_off
     c_diag: jnp.ndarray = None        # [B, n] dense diagonal of C
+    # every off constraint entry owns a DISTINCT pattern slot and a
+    # DISTINCT constraint (matcomp observations, theta edges), and no
+    # constraint mixes diag and off entries: A^*(A(.)) is then
+    # slot-diagonal on the off pattern (a_adj_a)
+    a_off_unique: bool = dataclasses.field(default=False,
+                                           metadata=dict(static=True))
+    a2_off: jnp.ndarray = None        # [B, Ko] 2*a_val^2 at slot order
+    a2_off_cp: jnp.ndarray = None     # [B, Ko] col-order mirror
     # diagonal constraint entries
     a_con_d: jnp.ndarray = None       # int32 [B, nnz_d]
     a_row_d: jnp.ndarray = None       # int32 [B, nnz_d]
@@ -417,6 +425,20 @@ def _build_split_fields(bp: BucketPlan, dtype,
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
 
+    # A^*(A(.)) slot-diagonal detection (see BucketData.a_off_unique):
+    # per block, every off constraint entry has a distinct slot and a
+    # distinct constraint, and diag/off constraint sets are disjoint
+    off_unique = True
+    a2_off = np.zeros((B, Ko))
+    for b, ((con_o, pos_o, val_o), (con_d, _, _)) in enumerate(
+            zip(per_ao, per_ad)):
+        ok = (np.unique(pos_o).size == pos_o.size
+              and np.unique(con_o).size == con_o.size
+              and not np.intersect1d(con_o, con_d).size)
+        off_unique &= bool(ok)
+        np.add.at(a2_off[b], pos_o, 2.0 * val_o ** 2)
+    a2_off_cp = np.take_along_axis(a2_off, cp, axis=1)
+
     # full-symmetric C entries (lower + mirror) sorted by row, padded
     # per block; pad slots carry (row 0, col 0, value 0) — harmless.
     # Only consumed by cmul (the diag-identity / diag-parent fast
@@ -447,6 +469,8 @@ def _build_split_fields(bp: BucketPlan, dtype,
 
     return dict(
         split=True, diag_ident=bool(ident), Ko=Ko, nnz_d=nnz_d,
+        a_off_unique=bool(off_unique and any(o[0].size for o in per_ao)),
+        a2_off=f(a2_off), a2_off_cp=f(a2_off_cp),
         **sym_fields,
         nnz_o=nnz_o,
         has_diag_a=any(a[0].size for a in per_ad),
@@ -977,6 +1001,36 @@ def uvt_half_cached(bk: BucketData, X: jnp.ndarray, F: jnp.ndarray,
     d = _expand(bk, jnp.sum(X * F, -1))
     o = 0.5 * (jnp.sum(Xr * Fc, -1) + jnp.sum(Xc * Fr, -1))
     return d, o
+
+
+def a_adj_a(bk: BucketData, uvt_val):
+    """Fused W = A^*(A(sym(X))) for split buckets whose off constraint
+    entries are slot-unique (bk.a_off_unique): each off constraint
+    reads one pattern slot and its adjoint writes the same slot back,
+    so the off part is a STATIC elementwise scale 2 a^2 — no
+    constraint-space round trip.  Diag-entry constraints (e.g. theta's
+    trace) compose generically through constraint space (they are
+    disjoint from the off constraints by the a_off_unique gate).
+
+    This is the ADMM CG operator's inner composition
+    (linSysProduct, lorads_admm.c:376-391) exploiting structure the
+    reference's per-cone loops cannot see.
+    """
+    d, o = uvt_val
+    W_o = bk.a2_off * o
+    W_oc = bk.a2_off_cp * jnp.take_along_axis(o, bk.off_col_perm, axis=1)
+    if bk.has_diag_a:
+        dg = jnp.take_along_axis(d, bk.a_row_d, axis=1) * bk.a_val_d
+        vals = batched_segment_sum(dg, bk.a_con_d, bk.m_loc,
+                                   sorted_ids=bk.a_con_d_sorted,
+                                   bounds=bk.bnd_a_con_d)
+        wa_d = jnp.take_along_axis(vals, bk.a_con_d_s, axis=1)
+        W_d = batched_segment_sum(bk.a_val_d_s * wa_d, bk.a_row_d_s,
+                                  bk.n, sorted_ids=True,
+                                  bounds=bk.bnd_a_row_d_s)
+    else:
+        W_d = jnp.zeros((d.shape[0], bk.n), dtype=d.dtype)
+    return W_d, W_o, W_oc
 
 
 def cmul(bk: BucketData, X: jnp.ndarray,

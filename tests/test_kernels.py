@@ -473,3 +473,46 @@ def test_scale_objective_scales_cmul_plane():
     np.testing.assert_allclose(np.asarray(g_fast.cones[0]),
                                np.asarray(g_oracle), rtol=1e-11,
                                atol=1e-11)
+
+
+def test_a_adj_a_matches_generic_composition():
+    # fused A*(A(.)) (slot-diagonal off part + generic diag part)
+    # equals build_w(constr_vals(.), include_obj=False) exactly on
+    # matcomp (pure single-entry constraints) and theta (edges + trace)
+    from lorads_tpu.alg import aop
+    from lorads_tpu.core.problem import SDPBlockData, SDPProblem
+
+    mc = generators.matrix_completion(n1=80, n2=80, true_rank=2,
+                                      frac_obs=0.06, seed=3)
+    # matcomp + a trace constraint: exercises the generic diag branch
+    # alongside the slot-diagonal off part
+    b = mc.blocks[0]
+    n = b.dim
+    mc_tr = SDPProblem(
+        m=mc.m + 1, rhs=np.concatenate([mc.rhs, [1.0]]),
+        blocks=[SDPBlockData(
+            dim=n, m=mc.m + 1,
+            obj_row=b.obj_row, obj_col=b.obj_col, obj_val=b.obj_val,
+            a_con=np.concatenate([b.a_con,
+                                  np.full(n, mc.m)]).astype(np.int32),
+            a_row=np.concatenate([b.a_row,
+                                  np.arange(n)]).astype(np.int32),
+            a_col=np.concatenate([b.a_col,
+                                  np.arange(n)]).astype(np.int32),
+            a_val=np.concatenate([b.a_val, np.ones(n)]))])
+
+    for problem in (mc, mc_tr):
+        ps = presolve(problem, LoradsParams(), group=True)
+        pd = aop.build_problem_data(ps, jnp.float64)
+        bk = pd.buckets[0]
+        assert bk.split and bk.a_off_unique
+        rng = np.random.default_rng(0)
+        n = bk.n
+        d = jnp.asarray(rng.standard_normal((bk.B, n)))
+        o = jnp.asarray(rng.standard_normal((bk.B, bk.Ko)))
+        W_ref = pat.build_w(bk, pat.constr_vals(bk, (d, o)),
+                            include_obj=False)
+        W_fused = pat.a_adj_a(bk, (d, o))
+        for a, b in zip(W_fused, W_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-12)
