@@ -91,6 +91,7 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
     rhs = -M2 / rho
 
     fuse_adj = bk.split and bk.a_off_unique and not bk.summed
+    fuse_dense = bk.dense and bk.a_single_dense
 
     def op(x):
         uv = pat.uvt_half_cached(bk, x, fixed_var, fcache)
@@ -98,6 +99,8 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
             # A^*(A(.)) is slot-diagonal on the off pattern: skip the
             # constraint-space round trip entirely (pattern.a_adj_a)
             Wop = pat.a_adj_a(bk, uv)
+        elif fuse_dense:
+            Wop = pat.a_adj_a_dense(bk, uv)
         else:
             vals = pat.cone_total(bk, pat.constr_vals(bk, uv))
             Wop = pat.build_w(bk, vals, include_obj=False)

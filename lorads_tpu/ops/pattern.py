@@ -198,6 +198,17 @@ class BucketData:
     # the f64 build_w scatter can then run as two exact f32 planes
     a_lin2_exact: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # dense-mode A^*(A(.)) fusion: every constraint is either a single
+    # (off-)diagonal entry or touches only the diagonal (theta: edges
+    # + trace) — then A^*(A(X)) = a2_full .* X plus a small diagonal
+    # composition (a_adj_a_dense)
+    a_single_dense: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    a2_full: jnp.ndarray = None       # [B, n, n] sum 2 a^2 (mirrored)
+    dd_con: jnp.ndarray = None        # int32 [B, nnz_dd] diag-only cons
+    dd_row: jnp.ndarray = None        # int32 [B, nnz_dd]
+    dd_val: jnp.ndarray = None        # [B, nnz_dd]
+    nnz_dd: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     # ------------------------------------------------------------------
     # summed: the B axis is a SHARD axis of one logical cone (pattern
@@ -601,6 +612,46 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
                                    a_val_mirror[b] != 0.0])
             ids_nz = lin2[b][keep]
             lin2_exact &= bool(np.unique(ids_nz).size == ids_nz.size)
+
+        # dense A^*(A(.)) fusion detection: every (real) constraint is
+        # either diag-only or a single entry (see a_single_dense)
+        single_ok = True
+        a2_full = np.zeros((B, n, n))
+        dd = []
+        for b in range(B):
+            real = bp.a_val[b] != 0.0
+            con = bp.a_con_loc[b][real]
+            r_ = a_rows[b][real]
+            c_ = a_cols[b][real]
+            v_ = bp.a_val[b][real]
+            is_d = r_ == c_
+            # per-constraint: all-diag or single-entry
+            all_diag = np.ones(bp.m_loc, bool)
+            np.logical_and.at(all_diag, con, is_d)
+            cnts = np.bincount(con, minlength=bp.m_loc)
+            single_ok &= bool(np.all(all_diag[con] | (cnts[con] == 1)))
+            dsel = all_diag[con]
+            dd.append((con[dsel], r_[dsel], v_[dsel]))
+            osel = ~dsel
+            w2 = np.where(r_[osel] == c_[osel], 1.0, 2.0) * v_[osel] ** 2
+            np.add.at(a2_full[b], (r_[osel], c_[osel]), w2)
+            np.add.at(a2_full[b], (c_[osel], r_[osel]),
+                      np.where(r_[osel] == c_[osel], 0.0, w2))
+        nnz_dd = max((d[0].size for d in dd), default=0)
+        L_dd = max(nnz_dd, 1)
+        dd_con = np.zeros((B, L_dd), np.int32)
+        dd_row = np.zeros((B, L_dd), np.int32)
+        dd_val = np.zeros((B, L_dd))
+        for b, (dc, dr, dv) in enumerate(dd):
+            dd_con[b, :dc.size] = dc
+            dd_row[b, :dc.size] = dr
+            dd_val[b, :dc.size] = dv
+        single_fields = dict(a_single_dense=bool(single_ok),
+                             nnz_dd=nnz_dd)
+        if single_ok:
+            single_fields.update(
+                a2_full=f(a2_full), dd_con=i32(dd_con),
+                dd_row=i32(dd_row), dd_val=f(dd_val))
         return BucketData(
             dense=True, n=n, K=K, nnz_a=bp.nnz_a, m_loc=bp.m_loc, B=B,
             m_glob=m_glob,
@@ -614,7 +665,7 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
             bnd_a_lin2=(_bounds_np(lin2_s, n * n)
                         if want_bounds else None),
             a_lin2_exact=lin2_exact,
-            **perms, **sort_flags, **common_bounds,
+            **single_fields, **perms, **sort_flags, **common_bounds,
         )
     z1 = np.zeros((B, 1))
     zi = np.zeros((B, 1), dtype=np.int32)
@@ -1001,6 +1052,24 @@ def uvt_half_cached(bk: BucketData, X: jnp.ndarray, F: jnp.ndarray,
     d = _expand(bk, jnp.sum(X * F, -1))
     o = 0.5 * (jnp.sum(Xr * Fc, -1) + jnp.sum(Xc * Fr, -1))
     return d, o
+
+
+def a_adj_a_dense(bk: BucketData, X_full: jnp.ndarray) -> jnp.ndarray:
+    """Fused W = A^*(A(X)) for dense-mode buckets with single-entry /
+    diag-only constraints (bk.a_single_dense): the single-entry part
+    is the STATIC elementwise plane a2_full .* X; diag-only
+    constraints (theta's trace) compose through two small segment sums
+    on the diagonal."""
+    W = bk.a2_full * X_full
+    if bk.nnz_dd:
+        d = jnp.diagonal(X_full, axis1=1, axis2=2)          # [B, n]
+        dg = jnp.take_along_axis(d, bk.dd_row, axis=1) * bk.dd_val
+        vals = batched_segment_sum(dg, bk.dd_con, bk.m_loc)
+        wv = jnp.take_along_axis(vals, bk.dd_con, axis=1) * bk.dd_val
+        W_d = batched_segment_sum(wv, bk.dd_row, bk.n)
+        B, n = W_d.shape
+        W = W + W_d[:, :, None] * jnp.eye(n, dtype=W.dtype)[None]
+    return W
 
 
 def a_adj_a(bk: BucketData, uvt_val):

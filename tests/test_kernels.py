@@ -516,3 +516,27 @@ def test_a_adj_a_matches_generic_composition():
         for a, b in zip(W_fused, W_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-12, atol=1e-12)
+
+
+def test_a_adj_a_dense_matches_generic_composition():
+    # dense-mode fusion: theta (single edges + trace) and a small
+    # dense maxcut (diag identities only -> pure diag composition)
+    from lorads_tpu.alg import aop
+
+    for problem in (
+            generators.lovasz_theta(n=60, avg_degree=6, seed=5),
+            generators.maxcut(n=16, avg_degree=5, seed=1)):
+        ps = presolve(problem, LoradsParams(), group=True)
+        pd = aop.build_problem_data(ps, jnp.float64)
+        bk = pd.buckets[0]
+        assert bk.dense and bk.a_single_dense
+        rng = np.random.default_rng(0)
+        X = rng.standard_normal((bk.B, bk.n, bk.n))
+        X = 0.5 * (X + np.swapaxes(X, 1, 2))
+        Xj = jnp.asarray(X)
+        W_ref = pat.build_w(bk, pat.constr_vals(bk, Xj),
+                            include_obj=False)
+        W_fused = pat.a_adj_a_dense(bk, Xj)
+        np.testing.assert_allclose(np.asarray(W_fused),
+                                   np.asarray(W_ref),
+                                   rtol=1e-12, atol=1e-12)
