@@ -40,6 +40,10 @@ from lorads_tpu.ops import pattern as pat
 # exit codes from a device chunk
 RUNNING, CONVERGED, NUM_ERR, BAD_PD, EARLY_STOP, STALLED = 0, 1, 2, 3, 4, 5
 
+# Closed-form Sherman-Morrison solve for diag-identity cones (tests
+# flip this off to compare against the generic CG path).
+_CLOSED_FORM = True
+
 
 @dataclasses.dataclass
 class ADMMStats:
@@ -90,23 +94,41 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
         M2 = M2 + s_term
     rhs = -M2 / rho
 
-    fuse_adj = bk.split and bk.a_off_unique and not bk.summed
-    fuse_dense = bk.dense and bk.a_single_dense
+    if _CLOSED_FORM and aop._diag_fast(bk):
+        # Diag-identity cones (Max-Cut: A_i = a_i e_i e_i^T) make the
+        # normal system row-decoupled: N(x)_i = a_i^2 (x_i . v_i) v_i,
+        # so each row solves (I + a_i^2 v_i v_i^T) x_i = rhs_i exactly
+        # by Sherman-Morrison — the reference's CG solve
+        # (lorads_admm.c:428-480, lorads_cgs.c:81-240) collapses to
+        # three elementwise VPU passes with ZERO iterations (and an
+        # exact solution instead of a tol-truncated one).  Summed
+        # (pattern-sharded) diag-parent buckets ride the same formula
+        # on the replicated [1, n, r] factors with the full diag map.
+        ad = aop._adiag(bk)
+        a2 = ad * ad                                       # [B or 1, n]
+        vr = jnp.sum(fixed_var * rhs, -1)                  # [B, n]
+        vv = jnp.sum(fixed_var * fixed_var, -1)            # [B, n]
+        coef = a2 * vr / (1.0 + a2 * vv)
+        new_var = rhs - coef[..., None] * fixed_var
+        iters = jnp.zeros((), jnp.int32)
+    else:
+        fuse_adj = bk.split and bk.a_off_unique and not bk.summed
+        fuse_dense = bk.dense and bk.a_single_dense
 
-    def op(x):
-        uv = pat.uvt_half_cached(bk, x, fixed_var, fcache)
-        if fuse_adj:
-            # A^*(A(.)) is slot-diagonal on the off pattern: skip the
-            # constraint-space round trip entirely (pattern.a_adj_a)
-            Wop = pat.a_adj_a(bk, uv)
-        elif fuse_dense:
-            Wop = pat.a_adj_a_dense(bk, uv)
-        else:
-            vals = pat.cone_total(bk, pat.constr_vals(bk, uv))
-            Wop = pat.build_w(bk, vals, include_obj=False)
-        return x + pat.w_mul_cached(bk, Wop, fixed_var, fcache)
+        def op(x):
+            uv = pat.uvt_half_cached(bk, x, fixed_var, fcache)
+            if fuse_adj:
+                # A^*(A(.)) is slot-diagonal on the off pattern: skip
+                # the constraint-space round trip (pattern.a_adj_a)
+                Wop = pat.a_adj_a(bk, uv)
+            elif fuse_dense:
+                Wop = pat.a_adj_a_dense(bk, uv)
+            else:
+                vals = pat.cone_total(bk, pat.constr_vals(bk, uv))
+                Wop = pat.build_w(bk, vals, include_obj=False)
+            return x + pat.w_mul_cached(bk, Wop, fixed_var, fcache)
 
-    new_var, iters = cg_solve(op, update_var, rhs, cg_tol, cg_max)
+        new_var, iters = cg_solve(op, update_var, rhs, cg_tol, cg_max)
     new_cache = pat.gather_cache(bk, new_var)
     if new_cache is None:
         uv = pat.uvt(bk, new_var, fixed_var)

@@ -386,7 +386,13 @@ def _build_split_fields(bp: BucketPlan, dtype,
         per_ao.append((ac[eo], off_of[ap[eo]], av[eo]))
 
         p = bp.plans[b]
+        # "identity" demands constraints be PURE diagonal entries: a
+        # constraint mixing its diag entry with off-diagonal entries
+        # breaks every diag-fast consumer (aop._diag_fast treats
+        # A^*(w) as diagonal; the ADMM closed-form solve assumes a
+        # row-decoupled normal operator).
         ident &= (p.dim == n and p.m_loc == n and con_d.size == n
+                  and ac[eo].size == 0
                   and bool(np.all(con_d == np.arange(n)))
                   and bool(np.all(row_d == np.arange(n))))
 
