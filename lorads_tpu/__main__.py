@@ -18,7 +18,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="lorads_tpu",
         description="TPU-native low-rank SDP solver (LoRADS rebuild)")
-    p.add_argument("fname", help="SDPA sparse-format .dat-s file")
+    p.add_argument("fname", nargs="+",
+                   help="SDPA sparse-format .dat-s file(s); several "
+                        "files merge block-diagonally into ONE "
+                        "vectorized batch solve (per-instance "
+                        "objectives reported at the end)")
     # reference getopt_long table (main.c:57-80)
     p.add_argument("--initRho", type=float, default=0.0)
     p.add_argument("--rhoMax", type=float, default=5000.0)
@@ -65,6 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="restore state from a checkpoint before solving")
     p.add_argument("--traceDir", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace")
+    p.add_argument("--dualRepair", type=int, default=1,
+                   help="exact dual shift along per-block identity "
+                        "directions (theta trace, Max-Cut diag "
+                        "family) to remove negative slack "
+                        "eigenvalues; dinf re-measured post-shift")
+    p.add_argument("--solOut", default=None, metavar="PATH",
+                   help="write the solution to an .npz: per-block "
+                        "factors f<i> (X_i = f_i f_i^T), LP values, "
+                        "dual vector y")
     return p
 
 
@@ -88,25 +101,38 @@ def main(argv=None) -> int:
     print("-" * 59)
 
     t0 = time.time()
-    try:
-        problem = read_sdpa(args.fname)
-    except FileNotFoundError:
-        print(f"error: input file not found: {args.fname}",
-              file=sys.stderr)
-        return 2
-    except (OSError, ValueError, IndexError, StopIteration,
-            UnicodeDecodeError) as e:
-        # the pure-Python reader fallback can raise StopIteration on a
-        # truncated file and OS-level errors on directories/binaries
-        print(f"error: could not parse SDPA file {args.fname}: {e}",
-              file=sys.stderr)
-        return 2
+    problems = []
+    for fname in args.fname:
+        try:
+            problems.append(read_sdpa(fname))
+        except FileNotFoundError:
+            print(f"error: input file not found: {fname}",
+                  file=sys.stderr)
+            return 2
+        except (OSError, ValueError, IndexError, StopIteration,
+                UnicodeDecodeError) as e:
+            # the pure-Python reader fallback can raise StopIteration
+            # on a truncated file and OS-level errors on
+            # directories/binaries
+            print(f"error: could not parse SDPA file {fname}: {e}",
+                  file=sys.stderr)
+            return 2
+    if len(problems) == 1:
+        problem = problems[0]
+    else:
+        # batched instance solving (no reference counterpart): merge
+        # block-diagonally; same-shape blocks share a bucket and the
+        # ADMM sweep runs Jacobi (disjoint constraint sets -> exactly
+        # Gauss-Seidel) vectorized over the block axis.
+        from lorads_tpu.core.problem import merge_problems
+        problem = merge_problems(problems)
+        print(f"merged {len(problems)} instances into one batch")
     print(f"Reading SDPA file in {time.time() - t0:.6f} seconds")
     print(f"nConstrs:{problem.m} nBlks:{problem.n_sdp_blocks} "
           f"nLpCols:{problem.n_lp_cols}")
 
     params = LoradsParams(
-        fname=args.fname, init_rho=args.initRho, rho_max=args.rhoMax,
+        fname=args.fname[0], init_rho=args.initRho, rho_max=args.rhoMax,
         rho_celling_alm=args.rhoCellingALM,
         max_alm_iter=args.maxALMIter, max_admm_iter=args.maxADMMIter,
         times_log_rank=args.timesLogRank, rho_freq=args.rhoFreq,
@@ -118,7 +144,8 @@ def main(argv=None) -> int:
         end_tau_tol=args.endTauTol, end_alm_sub_tol=args.endALMSubTol,
         l2_rescaling=bool(args.l2Rescaling), reopt_level=args.reoptLevel,
         dyrank_level=args.dyrankLevel, high_acc_mode=bool(args.highAccMode),
-        dual_uv=bool(args.dualUV), shard=args.shard,
+        dual_uv=bool(args.dualUV), dual_repair=bool(args.dualRepair),
+        shard=args.shard,
         dtype=args.dtype, seed=args.seed, verbose=not args.quiet,
         checkpoint_path=args.checkpoint, trace_dir=args.traceDir)
 
@@ -146,6 +173,16 @@ def main(argv=None) -> int:
     print("-" * 71)
     print(f"solve time (s): {res.solve_time:.6f}")
     print(f"dual infeasibility time (s): {res.dual_infeas_time:.6f}")
+    if args.solOut:
+        solver.save_solution(args.solOut)
+        print(f"solution written to {args.solOut}")
+    if len(problems) > 1:
+        from lorads_tpu.core.problem import split_objectives
+        xs, lp_vals = solver.x_blocks()
+        objs = split_objectives(problems, xs, lp_vals)
+        print("per-instance objectives:")
+        for fname, obj in zip(args.fname, objs):
+            print(f"\t{fname}: {obj:10.6e}")
     return 0
 
 

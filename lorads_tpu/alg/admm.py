@@ -194,7 +194,7 @@ def _update_sdp_var_bucket_gs(pd: ProblemData, bk: pat.BucketData,
 
 def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
                     locals_: Tuple, lp_contrib, constr_sum, dual, rho,
-                    cg_tol, cg_max, jacobi: bool = False,
+                    cg_tol, cg_max, jacobi=False,
                     u_caches=None, v_caches=None, S: FactorVec = None):
     """One sweep over buckets (U then V each), then LP.
 
@@ -203,7 +203,12 @@ def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
     default is sequential Gauss-Seidel (reference parity; stable);
     jacobi=True updates all blocks of a bucket simultaneously
     (parallel across devices, but can diverge at low rho on strongly
-    coupled blocks — validated per use).
+    coupled blocks — validated per use).  jacobi may also be a
+    per-bucket tuple of bools: the solver passes True for buckets
+    whose blocks touch DISJOINT constraint sets (merged batched
+    instances, block-diagonal problems), where the simultaneous
+    update is exactly the Gauss-Seidel one (no block reads another's
+    constraint slots) at fully vectorized [B, n, r] shapes.
 
     u_caches/v_caches: per-bucket gathered pattern rows of U/V from
     the previous sweep (None entries recomputed), returned updated.
@@ -215,7 +220,8 @@ def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
     v_caches = list(v_caches) if v_caches is not None else [None] * nb
     cg_total = jnp.zeros((), jnp.int32)
     for j, bk in enumerate(pd.buckets):
-        simple = jacobi or bk.B == 1 or bk.summed
+        jac = jacobi[j] if isinstance(jacobi, tuple) else jacobi
+        simple = jac or bk.B == 1 or bk.summed
         s_j = S.cones[j] if S is not None else None
         if simple:
             u_new, loc, constr_sum, it1, uc = _update_sdp_var_one(
@@ -284,9 +290,14 @@ def _obj_dimacs_xbar(pd: ProblemData, U: FactorVec, V: FactorVec, dual,
     return pobj, dobj, pinf, gap, locals_, lp_contrib, total
 
 
-def make_admm_chunk(params, reopt: bool):
+def make_admm_chunk(params, reopt: bool, bucket_jacobi=()):
     """Jitted device loop for <=chunk ADMM iterations, memoized on the
     params fields it bakes in.
+
+    bucket_jacobi: per-bucket bools from the solver marking buckets
+    whose blocks touch disjoint constraint sets — those sweep Jacobi
+    (== Gauss-Seidel there, but vectorized over the block axis instead
+    of a lax.scan serialization).
 
     Memoization matters: a fresh ``jax.jit`` per LoradsSolver would
     re-trace the whole phase graph (and re-deserialize it from the
@@ -295,10 +306,13 @@ def make_admm_chunk(params, reopt: bool):
     With the shared callable, repeat solves under the same params hit
     the in-process jit cache directly.
     """
+    jacobi = getattr(params, "admm_jacobi", False)
+    if not jacobi and bucket_jacobi and any(bucket_jacobi):
+        jacobi = tuple(bucket_jacobi)
     return _make_admm_chunk(
         params.rho_freq, params.rho_factor, params.phase2_tol,
         params.phase1_tol, params.rho_celling_admm,
-        getattr(params, "admm_jacobi", False),
+        jacobi,
         getattr(params, "dual_uv", False), bool(reopt))
 
 
@@ -411,17 +425,20 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
                         count=c["count"] + 1)
 
         dt = pd.rhs.dtype
-        def init_cache(bk, x):
-            if jacobi or bk.B == 1 or bk.summed:
+        def init_cache(j, bk, x):
+            jac = jacobi[j] if isinstance(jacobi, tuple) else jacobi
+            if jac or bk.B == 1 or bk.summed:
                 return pat.gather_cache(bk, x)
             return None
 
         carry = dict(
             U=U, V=V, locals=tuple(locals_), lp_contrib=lp_contrib,
-            u_caches=tuple(init_cache(bk, x)
-                           for bk, x in zip(pd.buckets, U.cones)),
-            v_caches=tuple(init_cache(bk, x)
-                           for bk, x in zip(pd.buckets, V.cones)),
+            u_caches=tuple(init_cache(j, bk, x)
+                           for j, (bk, x)
+                           in enumerate(zip(pd.buckets, U.cones))),
+            v_caches=tuple(init_cache(j, bk, x)
+                           for j, (bk, x)
+                           in enumerate(zip(pd.buckets, V.cones))),
             constr_sum=constr_sum, dual=dual, rho=rho,
             cur_rho_max=cur_rho_max, pinf_buf=pinf_buf,
             old_pinf_mean=old_pinf_mean, bad_pd=bad_pd, it=it,

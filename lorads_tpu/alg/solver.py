@@ -113,11 +113,24 @@ class LoradsSolver:
             self.device_chunk_iters = 200 if small else 50
         self.alm_max_outers = 16 if small else 8
         self._rng = np.random.default_rng(self.params.seed)
+        self._ident_dirs = None  # lazy (see _identity_directions)
         self._init_vars()
         self.mesh = None
         self._maybe_shard()
-        self._admm_chunk = admm_mod.make_admm_chunk(self.params, False)
-        self._admm_chunk_reopt = admm_mod.make_admm_chunk(self.params, True)
+        # Buckets whose blocks touch pairwise-disjoint constraint sets
+        # (merged batched instances, block-diagonal problems) sweep
+        # Jacobi: exactly the Gauss-Seidel update there (no block
+        # reads another's constraint slots), but vectorized over the
+        # block axis instead of a lax.scan serialization.
+        self._bucket_jacobi = tuple(
+            len(bp.plans) > 1 and sum(p.m_loc for p in bp.plans)
+            == np.unique(np.concatenate(
+                [p.loc2glob for p in bp.plans])).size
+            for bp in self.ps.buckets)
+        self._admm_chunk = admm_mod.make_admm_chunk(
+            self.params, False, self._bucket_jacobi)
+        self._admm_chunk_reopt = admm_mod.make_admm_chunk(
+            self.params, True, self._bucket_jacobi)
 
     # ------------------------------------------------------------------
     # Multi-device placement (no reference counterpart; SURVEY.md §2
@@ -548,6 +561,42 @@ class LoradsSolver:
             lp_vals = u * u
         return out, lp_vals
 
+    def factor_blocks(self, R: Optional[FactorVec] = None):
+        """Per-block solution factors F_i with X_i = F_i F_i^T (in
+        ORIGINAL block order) plus LP column values.
+
+        O(n*r) storage — the scalable form of :meth:`x_blocks` (a
+        dense X at n=100000 would be tens of GB).  Returns (list of
+        [dim_i, r] float64 arrays, lp values or None).
+        """
+        R = R if R is not None else self.R
+        out = [None] * len(self.ps.plans)
+        for bp, Rb in zip(self.ps.buckets, R.cones):
+            Rh = np.asarray(Rb, dtype=np.float64)
+            for j, plan in enumerate(bp.plans):
+                out[plan.index] = Rh[j, : plan.dim]
+        lp_vals = None
+        if self.pd.lp is not None:
+            u = np.asarray(R.lp, dtype=np.float64)
+            lp_vals = u * u
+        return out, lp_vals
+
+    def save_solution(self, path: str) -> None:
+        """Write the primal/dual solution to an .npz file: per-block
+        factors ``f<i>`` (X_i = f_i f_i^T), LP values ``lp`` (if any),
+        and the dual vector ``y``.  The reference binary reports only
+        DIMACS errors; this is the extraction surface users need to
+        consume the solution."""
+        # unscale: the internal dual is in reopt-scaled units
+        arrs = {"y": (np.asarray(self.dual, dtype=np.float64)
+                      / self.scale_obj_his)}
+        fs, lp_vals = self.factor_blocks()
+        for i, f in enumerate(fs):
+            arrs[f"f{i}"] = f
+        if lp_vals is not None:
+            arrs["lp"] = lp_vals
+        np.savez_compressed(path, **arrs)
+
     def save(self, path: str, alm_stats=None, admm_stats=None,
              phase: str = "alm") -> None:
         from lorads_tpu.utils.checkpoint import save_checkpoint
@@ -561,13 +610,8 @@ class LoradsSolver:
     # Dual infeasibility certificate.
     # ------------------------------------------------------------------
 
-    def dual_infeasibility(self) -> float:
-        """calculate_dual_infeasibility_solver (lorads_solver.c:1007-1037).
-
-        One jitted dispatch: slack assembly, per-block operator
-        normalization, batched Lanczos with on-device restarts and
-        tridiagonal eigh (see lanczos_min_eig_device), LP column part.
-        """
+    def _dual_infeas_pass(self):
+        """One Lanczos dispatch: (lp_part, per-bucket min-eig arrays)."""
         v0s = []
         for bk, bp in zip(self.pd.buckets, self.ps.buckets):
             b_eff = 1 if bk.summed else bk.B  # one logical cone per
@@ -576,10 +620,10 @@ class LoradsSolver:
             v0 *= (np.arange(bk.n)[None, :]
                    < np.asarray(bp.dims)[:b_eff, None])
             v0s.append(jnp.asarray(v0, self.dtype))
-        v0s = tuple(v0s)
-        lp_part, lams = _dual_infeas_device(self.pd, self.dual, v0s)
+        lp_part, lams = _dual_infeas_device(self.pd, self.dual,
+                                            tuple(v0s))
         lp_part, lams = jax.device_get((lp_part, lams))
-        dinf = float(lp_part)
+        out = []
         for lam in lams:
             lam = np.asarray(lam)
             if np.any(np.isnan(lam)):
@@ -588,10 +632,127 @@ class LoradsSolver:
                 self.log("warning: Lanczos returned NaN on a block; "
                          "treating its dual slack as infeasible")
                 lam = np.where(np.isnan(lam), -1.0, lam)
+            out.append(lam)
+        return float(lp_part), out
+
+    def _identity_directions(self):
+        """Per ORIGINAL block: (constraint slots, coefficients) such
+        that adding ``t * coefs`` to ``dual[slots]`` adds ``-t * I``
+        to that block's slack S = C - A*(dual) — or None.  Slots must
+        be EXCLUSIVE to the block (no other block or LP column touches
+        them), so the shift perturbs nothing else.  See
+        LoradsParams.dual_repair."""
+        if self._ident_dirs is not None:
+            return self._ident_dirs
+        blocks = self.problem.blocks
+        lp = self.problem.lp
+        used = [np.unique(b.a_con) for b in blocks]
+        dirs = []
+        for i, blk in enumerate(blocks):
+            others = [u for j, u in enumerate(used) if j != i]
+            if lp is not None:
+                others.append(np.unique(lp.a_con))
+            others = (np.unique(np.concatenate(others)) if others
+                      else np.zeros(0, np.int64))
+            dirs.append(_find_identity_direction(blk, others))
+        self._ident_dirs = dirs
+        return dirs
+
+    def dual_infeasibility(self, stats=None) -> float:
+        """calculate_dual_infeasibility_solver (lorads_solver.c:1007-1037).
+
+        One jitted dispatch: slack assembly, per-block operator
+        normalization, batched Lanczos with on-device restarts and
+        tridiagonal eigh (see lanczos_min_eig_device), LP column part.
+
+        With params.dual_repair (extension): any block whose
+        constraint span contains its identity gets a negative slack
+        eigenvalue removed exactly by a dual shift along that
+        direction; dinf is then RE-MEASURED at the shifted dual and
+        ``stats``' dObj/gap are refreshed (the shifted dual is a
+        feasible dual point — all reported numbers stay honest).
+        """
+        lp_part, lams = self._dual_infeas_pass()
+        if self.params.dual_repair and self._repair_worth(lp_part,
+                                                          lams):
+            delta = self._repair_delta(lams)
+            if delta is not None:
+                self.dual = self.dual + jnp.asarray(delta, self.dtype)
+                lp_part, lams = self._dual_infeas_pass()
+                dobj = float(jnp.vdot(self.pd.rhs, self.dual))
+                dobj /= self.scale_obj_his
+                self.dobj = dobj
+                self.gap = abs(self.pobj - dobj) / (
+                    1.0 + abs(self.pobj) + abs(dobj))
+                if stats is not None:
+                    stats.dobj = dobj
+                    stats.gap = self.gap
+                self.log(f"dual repair: shifted dual along identity "
+                         f"directions; dObj {dobj:.6e} "
+                         f"gap {self.gap:.2e}")
+        dinf = lp_part
+        for lam in lams:
             dinf += float(np.sum(np.abs(np.minimum(lam, 0.0))))
         dinf /= self.scale_obj_his
         dinf /= (self.pd.c_nrm1 + 1.0)
         return dinf
+
+    def _repair_worth(self, lp_part, lams) -> bool:
+        """Benefit guard for the dual repair: the shift trades a
+        |lam_min|-sized dObj move for dinf ~ 0, which only improves
+        the acceptance outcome when (a) dinf currently FAILS its band
+        and (b) the predicted post-shift gap still passes (or the gap
+        was failing anyway).  Without this guard, repairing an
+        already-certified solution can destroy its gap — e.g. Max-Cut
+        at dinf 2e-7 hides |lam_min| ~ 1e-2 behind the 1/(1+||C||_1)
+        normalization, and the shift would move dObj by n * |lam_min|.
+        """
+        p = self.params
+        band = p.phase2_tol if p.high_acc_mode else 5 * p.phase2_tol
+        pre = float(lp_part)
+        for lam in lams:
+            pre += float(np.sum(np.abs(np.minimum(
+                np.nan_to_num(np.asarray(lam), nan=-1.0), 0.0))))
+        pre /= self.scale_obj_his * (self.pd.c_nrm1 + 1.0)
+        if pre <= band:
+            return False
+        delta = self._repair_delta(lams)
+        if delta is None:
+            return False
+        dobj_cur = float(jnp.vdot(self.pd.rhs, self.dual))
+        ddobj = float(np.dot(np.asarray(self.pd.rhs, np.float64),
+                             delta))
+        dobj_new = (dobj_cur + ddobj) / self.scale_obj_his
+        gap_new = abs(self.pobj - dobj_new) / (
+            1.0 + abs(self.pobj) + abs(dobj_new))
+        gap_now = abs(self.pobj - dobj_cur / self.scale_obj_his) / (
+            1.0 + abs(self.pobj) + abs(dobj_cur / self.scale_obj_his))
+        return gap_new <= band or gap_now > band
+
+    def _repair_delta(self, lams):
+        """m-vector dual shift removing negative slack eigenvalues of
+        identity-direction blocks, or None if nothing to repair.
+        Lanczos Ritz values can only UNDER-estimate |lam_min|, so the
+        shift carries a 5% margin; the post-shift re-measurement
+        reports whatever violation remains."""
+        dirs = self._identity_directions()
+        delta = np.zeros(self.pd.m, dtype=np.float64)
+        hit = False
+        floor = -1e-14 * max(1.0, float(self.pd.c_nrm_inf))
+        for bk, bp, lam in zip(self.pd.buckets, self.ps.buckets, lams):
+            b_eff = 1 if bk.summed else bk.B
+            for b in range(b_eff):
+                plan = bp.plans[b]
+                d = dirs[plan.index]
+                if d is None:
+                    continue
+                lam_b = float(lam[b])
+                if not np.isfinite(lam_b) or lam_b >= floor:
+                    continue
+                slots, coefs = d
+                delta[slots] += 1.05 * lam_b * coefs
+                hit = True
+        return delta if hit else None
 
     def _bucket_plans(self, bk):
         for bp in self.ps.buckets:
@@ -675,6 +836,11 @@ class LoradsSolver:
         # escalation was measured WORSE on theta n=300: the f32 round
         # fixes the gap but leaves dinf at 1.7e-4, and the deferred f64
         # polish at level 2 costs the same, net +50%.)
+        # (A lazy-f32 level 1 gated on dual-repair coverage was
+        # measured WORSE on theta n=300 even WITH the repair zeroing
+        # dinf: the f32 round leaves the gap at 4.5e-3 and the
+        # deferred level-2 f64 rounds never close it — max_iter at
+        # 31 s vs 23.5 s certified with the eager escalation.)
         if status is SolverStatus.UNKNOWN and p.reopt_level >= 1:
             cnt = 0
             while ((alm_stats.gap > p.phase2_tol
@@ -695,7 +861,7 @@ class LoradsSolver:
                     break
 
         t_di = time.time()
-        dinf = self.dual_infeasibility()
+        dinf = self.dual_infeasibility(stats=admm_stats)
         dual_infeas_time += time.time() - t_di
         admm_stats.dinf_l1 = dinf
         admm_stats.dinf_inf = dinf * (1 + self.pd.c_nrm1) / (
@@ -726,7 +892,7 @@ class LoradsSolver:
                                       self.U, self.V)
                 self.V = self.R
                 t_di = time.time()
-                dinf = self.dual_infeasibility()
+                dinf = self.dual_infeasibility(stats=admm_stats)
                 dual_infeas_time += time.time() - t_di
                 admm_stats.dinf_l1 = dinf
                 admm_stats.dinf_inf = dinf * (1 + self.pd.c_nrm1) / (
@@ -760,7 +926,10 @@ class LoradsSolver:
             gap=self.gap, alm_stats=alm_stats, admm_stats=admm_stats,
             solve_time=time.time() - t_start,
             dual_infeas_time=dual_infeas_time, ranks=list(self.ranks),
-            R=Rbar, dual=np.asarray(self.dual))
+            # the internal dual lives in reopt-SCALED units (the
+            # objective is rescaled by 5 per reopt round); export the
+            # user's dual point for the ORIGINAL problem
+            R=Rbar, dual=np.asarray(self.dual) / self.scale_obj_his)
 
 
 def solve(problem: SDPProblem, params: Optional[LoradsParams] = None,
@@ -769,6 +938,66 @@ def solve(problem: SDPProblem, params: Optional[LoradsParams] = None,
     if params is None:
         params = LoradsParams(**kw)
     return LoradsSolver(problem, params).solve()
+
+
+def _find_identity_direction(blk, others):
+    """Identity direction of one block for the dual repair (see
+    LoradsSolver._identity_directions): returns (slots, coefs) with
+    A*(coefs at slots) = I restricted to this block, or None.
+
+    Two recognized shapes:
+    * a trace-style constraint: one block-exclusive constraint whose
+      entries are exactly the full diagonal at a constant value c
+      (theta: tr X = 1) -> ([k], [1/c]);
+    * a diagonal family: block-exclusive single-entry diagonal
+      constraints a_i X_ii = b_i covering every row (Max-Cut)
+      -> (k_0..k_{n-1}, 1/a_i).
+    """
+    if blk.a_con.size == 0:
+        return None
+    diag = blk.a_row == blk.a_col
+    total_cnt = np.bincount(blk.a_con, minlength=blk.m)
+    diag_cnt = np.bincount(blk.a_con[diag], minlength=blk.m)
+
+    # (a) trace-style constraint
+    cand = np.nonzero((total_cnt == blk.dim)
+                      & (diag_cnt == blk.dim))[0]
+    if cand.size:
+        cand = cand[~np.isin(cand, others)]
+    for k in cand:
+        sel = blk.a_con == k
+        rows = blk.a_row[sel]
+        vals = blk.a_val[sel]
+        if (np.unique(rows).size == blk.dim and vals[0] != 0.0
+                and np.allclose(vals, vals[0])):
+            return (np.asarray([k], dtype=np.int64),
+                    np.asarray([1.0 / vals[0]]))
+
+    # (b) single-entry diagonal family covering every row
+    ks = np.nonzero((total_cnt == 1) & (diag_cnt == 1))[0]
+    if ks.size:
+        ks = ks[~np.isin(ks, others)]
+    if ks.size:
+        sel = np.isin(blk.a_con, ks)
+        rows = blk.a_row[sel]
+        cons = blk.a_con[sel]
+        vals = blk.a_val[sel]
+        ok = vals != 0.0
+        rows, cons, vals = rows[ok], cons[ok], vals[ok]
+        # first constraint per row
+        order = np.argsort(rows, kind="stable")
+        rows, cons, vals = rows[order], cons[order], vals[order]
+        first = np.concatenate([[True], rows[1:] != rows[:-1]])
+        rows, cons, vals = rows[first], cons[first], vals[first]
+        if rows.size == blk.dim and np.array_equal(
+                rows, np.arange(blk.dim)):
+            return (cons.astype(np.int64), 1.0 / vals)
+    return None
+
+
+# Dense slack blocks up to this dim get an exact eigh certificate
+# instead of the Lanczos sweep (see _dual_infeas_device).
+_DENSE_EIG_DIM = 512
 
 
 @jax.jit
@@ -816,6 +1045,17 @@ def _dual_infeas_device(pd, dual, v0s):
         if bk.dense:
             ws = jnp.maximum(jnp.max(jnp.abs(W), axis=(1, 2)), 1e-30)
             Wn = W / ws[:, None, None]
+            if bk.n <= _DENSE_EIG_DIM:
+                # small dense slack: exact min eigenvalue by full eigh
+                # (the 36-step Lanczos under-estimates |lam_min| by up
+                # to ~25x on clustered small-block spectra; exact here
+                # is one cheap [B, n, n] eigh).  TPU eigh runs f32 on
+                # the normalized operator; CPU keeps f64.
+                We = Wn if jax.default_backend() == "cpu" \
+                    else Wn.astype(jnp.float32)
+                lam = jnp.linalg.eigvalsh(We)[:, 0].astype(W.dtype)
+                lams.append(lam * ws)
+                continue
         elif bk.split:
             W_d, W_o, W_oc = W
             ws = jnp.maximum(jnp.maximum(

@@ -103,6 +103,16 @@ class LoradsParams:
     # +/-S consensus terms in the ADMM subproblems; S stays at its
     # initial value exactly as the shipped reference never updates it
     dual_uv: bool = False
+    # Dual certificate repair (extension, no reference counterpart):
+    # when a block's constraint span contains its identity (theta's
+    # trace constraint; Max-Cut's diagonal family), a negative slack
+    # eigenvalue lam is removed EXACTLY by shifting the dual along
+    # that direction (S - lam I is PSD), trading a |lam|-sized dObj
+    # move for dinf ~ 0.  The shifted dual is a genuinely feasible
+    # dual point, so every reported number stays honest (dinf is
+    # re-measured after the shift).  Spares the expensive high-rho
+    # ALM polish whose only purpose is driving dinf down.
+    dual_repair: bool = True
     # multi-device placement: "off" | "auto" | "dp" | "sp".
     # dp = block-axis data parallelism (bucket B axis over the mesh);
     # sp = union-pattern sharding for single large sparse cones

@@ -16,6 +16,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# No persistent compilation cache under pytest: CPU compiles are fast,
+# and long multi-graph test processes have segfaulted inside XLA's
+# executable DESERIALIZATION when reading entries written by other
+# topologies (1-device CLI runs / axon TPU runs share the directory).
+# The cache exists to amortize the minutes-long REMOTE TPU compiles;
+# tests don't need it.  Must be set before lorads_tpu is imported
+# (lorads_tpu/__init__.py reads it).
+os.environ.setdefault("LORADS_TPU_NO_COMPILE_CACHE", "1")
+
 import jax  # noqa: E402  (already imported by sitecustomize; no-op)
 
 jax.config.update("jax_platforms", "cpu")

@@ -171,6 +171,37 @@ def test_gset_maxcut_solves(tmp_path):
     assert res.pinf_l1 <= 1e-5 and res.gap <= 5e-5
 
 
+def test_cli_batched_instances(tmp_path, capsys):
+    # several .dat-s files merge block-diagonally into one vectorized
+    # batch solve; per-instance objectives must match solo solves
+    import pytest
+    from lorads_tpu import LoradsParams
+    from lorads_tpu.__main__ import main
+    from lorads_tpu.alg.solver import LoradsSolver
+    from lorads_tpu.io import generators
+    from lorads_tpu.io.sdpa import write_sdpa
+
+    probs = [generators.maxcut(n=40, avg_degree=4, seed=2),
+             generators.maxcut(n=36, avg_degree=4, seed=5)]
+    paths = []
+    for i, prob in enumerate(probs):
+        f = tmp_path / f"mc{i}.dat-s"
+        write_sdpa(str(f), prob)
+        paths.append(str(f))
+
+    assert main(paths + ["--quiet"]) == 0
+    out = capsys.readouterr().out
+    assert "merged 2 instances" in out
+    assert "per-instance objectives" in out
+    import re
+    objs = [float(x) for x in
+            re.findall(r"dat-s: +([-+\d.e]+)", out)]
+    assert len(objs) == 2
+    for prob, got in zip(probs, objs):
+        res = LoradsSolver(prob, LoradsParams(verbose=False)).solve()
+        assert got == pytest.approx(res.pobj, rel=1e-3, abs=1e-3)
+
+
 def test_cli_end_to_end_flags(tmp_path, capsys):
     # full CLI wiring: every flag group exercised in-process, incl.
     # auto-default flags left unset, explicit reference values, dualUV,

@@ -99,12 +99,95 @@ def test_ungrouped_buckets_match_grouped():
     assert r1.pobj == pytest.approx(r2.pobj, rel=5e-3, abs=5e-3)
 
 
+def test_auto_jacobi_on_disjoint_blocks_matches_gs():
+    """Merged instances (disjoint constraint sets) auto-enable the
+    vectorized Jacobi sweep, which must equal the Gauss-Seidel sweep
+    exactly there (no block reads another's constraint slots)."""
+    import jax.numpy as jnp
+    from lorads_tpu.alg import admm as admm_mod
+    from lorads_tpu.core.problem import merge_problems
+    from lorads_tpu.ops import pattern as pat
+
+    probs = [generators.random_multiblock(n_blocks=1, dim=24, m=14,
+                                          density=0.4, seed=s)
+             for s in (1, 2)]
+    merged = merge_problems(probs)
+    solver = LoradsSolver(merged, LoradsParams(verbose=False))
+    assert solver._bucket_jacobi == (True,)
+    pd = solver.pd
+    assert len(pd.buckets) == 1 and pd.buckets[0].B == 2
+
+    rng = np.random.default_rng(3)
+    bk = pd.buckets[0]
+    shape = solver.U.cones[0].shape
+    U = type(solver.U)((jnp.asarray(rng.standard_normal(shape)),),
+                       solver.U.lp)
+    V = type(solver.V)((jnp.asarray(rng.standard_normal(shape)),),
+                       solver.V.lp)
+    vals = pat.constr_vals(bk, pat.uvt(bk, U.cones[0], V.cones[0]))
+    total = pat.scatter_constr(bk, vals)
+    dual = jnp.asarray(rng.standard_normal(merged.m))
+    rho = jnp.asarray(2.0, pd.rhs.dtype)
+    args = (pd, U, V, (vals,), jnp.zeros_like(total), total, dual,
+            rho, 1e-12, 500)
+    out_j = admm_mod.admm_update_all(*args, jacobi=(True,))
+    out_g = admm_mod.admm_update_all(*args, jacobi=False)
+    np.testing.assert_allclose(np.asarray(out_j[0].cones[0]),
+                               np.asarray(out_g[0].cones[0]),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out_j[1].cones[0]),
+                               np.asarray(out_g[1].cones[0]),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out_j[4]),
+                               np.asarray(out_g[4]), atol=1e-8)
+
+    # coupled blocks (shared constraints) must stay Gauss-Seidel
+    coupled = generators.random_multiblock(n_blocks=2, dim=24, m=14,
+                                           density=0.4, seed=4)
+    s2 = LoradsSolver(coupled, LoradsParams(verbose=False))
+    assert not any(s2._bucket_jacobi)
+
+
 def test_deterministic_given_seed():
     problem = generators.maxcut(n=30, avg_degree=4, seed=9)
     r1 = _solve(problem, seed=925)
     r2 = _solve(problem, seed=925)
     assert r1.pobj == r2.pobj
     assert r1.pinf_l1 == r2.pinf_l1
+
+
+def test_solution_output(tmp_path):
+    """--solOut factors reproduce a feasible X with the reported
+    objective, and the dual vector y is saved alongside."""
+    from lorads_tpu.__main__ import main
+    from lorads_tpu.io.sdpa import write_sdpa
+
+    problem = generators.random_multiblock(n_blocks=2, dim=12, m=8,
+                                           n_lp=4, seed=7)
+    f = tmp_path / "p.dat-s"
+    write_sdpa(str(f), problem)
+    sol = tmp_path / "sol.npz"
+    assert main([str(f), "--quiet", "--solOut", str(sol)]) == 0
+    data = np.load(sol)
+    assert data["y"].shape == (problem.m,)
+
+    # rebuild X from factors; check A(X) = b and <C, X> = pobj
+    ax = np.zeros(problem.m)
+    obj = 0.0
+    for i, blk in enumerate(problem.blocks):
+        F = data[f"f{i}"]
+        X = F @ F.T
+        obj += float(np.sum(blk.dense_obj() * X))
+        for k in range(problem.m):
+            ax[k] += float(np.sum(blk.dense_constr(k) * X))
+    lp = data["lp"]
+    obj += float(problem.lp.obj @ lp)
+    for k, col, v in zip(problem.lp.a_con, problem.lp.a_col,
+                         problem.lp.a_val):
+        ax[k] += v * lp[col]
+    np.testing.assert_allclose(ax, problem.rhs, atol=5e-4)
+    res = LoradsSolver(problem, LoradsParams(verbose=False)).solve()
+    assert obj == pytest.approx(res.pobj, rel=1e-3, abs=1e-3)
 
 
 def test_checkpoint_roundtrip(tmp_path):
