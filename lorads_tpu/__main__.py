@@ -177,9 +177,9 @@ def main(argv=None) -> int:
         solver.save_solution(args.solOut)
         print(f"solution written to {args.solOut}")
     if len(problems) > 1:
-        from lorads_tpu.core.problem import split_objectives
-        xs, lp_vals = solver.x_blocks()
-        objs = split_objectives(problems, xs, lp_vals)
+        from lorads_tpu.core.problem import split_objectives_factors
+        fs, lp_vals = solver.factor_blocks()
+        objs = split_objectives_factors(problems, fs, lp_vals)
         print("per-instance objectives:")
         for fname, obj in zip(args.fname, objs):
             print(f"\t{fname}: {obj:10.6e}")

@@ -673,9 +673,8 @@ class LoradsSolver:
         feasible dual point — all reported numbers stay honest).
         """
         lp_part, lams = self._dual_infeas_pass()
-        if self.params.dual_repair and self._repair_worth(lp_part,
-                                                          lams):
-            delta = self._repair_delta(lams)
+        if self.params.dual_repair:
+            delta = self._repair_plan(lp_part, lams)
             if delta is not None:
                 self.dual = self.dual + jnp.asarray(delta, self.dtype)
                 lp_part, lams = self._dual_infeas_pass()
@@ -697,28 +696,55 @@ class LoradsSolver:
         dinf /= (self.pd.c_nrm1 + 1.0)
         return dinf
 
-    def _repair_worth(self, lp_part, lams) -> bool:
-        """Benefit guard for the dual repair: the shift trades a
-        |lam_min|-sized dObj move for dinf ~ 0, which only improves
-        the acceptance outcome when (a) dinf currently FAILS its band
-        and (b) the predicted post-shift gap still passes (or the gap
-        was failing anyway).  Without this guard, repairing an
-        already-certified solution can destroy its gap — e.g. Max-Cut
-        at dinf 2e-7 hides |lam_min| ~ 1e-2 behind the 1/(1+||C||_1)
-        normalization, and the shift would move dObj by n * |lam_min|.
+    def _repair_plan(self, lp_part, lams):
+        """Build the dual-repair shift, or None when repairing cannot
+        improve the acceptance outcome.  The shift trades a
+        |lam_min|-sized dObj move for dinf ~ 0 on identity-direction
+        blocks, which only helps when
+
+        * dinf currently FAILS its band,
+        * the REPAIRABLE violation mass is what's failing it (a
+          violation living in blocks without identity directions
+          cannot be fixed by any shift — don't burn a second
+          certificate dispatch on noise shifts), and
+        * the predicted post-shift gap still passes (or the gap was
+          failing anyway).  Without this, repairing an
+          already-certified Max-Cut (dinf 2e-7 hiding |lam_min| ~
+          1e-2 behind the 1/(1+||C||_1) normalization) would move
+          dObj by n * |lam_min| and destroy the gap.
+
+        Lanczos Ritz values can only UNDER-estimate |lam_min|, so the
+        shift carries a 5% margin; dinf is re-measured post-shift.
         """
         p = self.params
         band = p.phase2_tol if p.high_acc_mode else 5 * p.phase2_tol
+        norm = self.scale_obj_his * (self.pd.c_nrm1 + 1.0)
+        lams = [np.nan_to_num(np.asarray(lam), nan=-1.0)
+                for lam in lams]
         pre = float(lp_part)
         for lam in lams:
-            pre += float(np.sum(np.abs(np.minimum(
-                np.nan_to_num(np.asarray(lam), nan=-1.0), 0.0))))
-        pre /= self.scale_obj_his * (self.pd.c_nrm1 + 1.0)
-        if pre <= band:
-            return False
-        delta = self._repair_delta(lams)
-        if delta is None:
-            return False
+            pre += float(np.sum(np.abs(np.minimum(lam, 0.0))))
+        if pre / norm <= band:
+            return None
+
+        dirs = self._identity_directions()
+        delta = np.zeros(self.pd.m, dtype=np.float64)
+        repairable = 0.0
+        floor = -1e-14 * max(1.0, float(self.pd.c_nrm_inf))
+        for bk, bp, lam in zip(self.pd.buckets, self.ps.buckets, lams):
+            b_eff = 1 if bk.summed else bk.B
+            for b in range(b_eff):
+                d = dirs[bp.plans[b].index]
+                lam_b = float(lam[b])
+                if d is None or lam_b >= floor:
+                    continue
+                slots, coefs = d
+                delta[slots] += 1.05 * lam_b * coefs
+                repairable += -lam_b
+        # the violation left after a perfect repair must pass the band
+        if repairable == 0.0 or (pre - repairable) / norm > band:
+            return None
+
         dobj_cur = float(jnp.vdot(self.pd.rhs, self.dual))
         ddobj = float(np.dot(np.asarray(self.pd.rhs, np.float64),
                              delta))
@@ -727,32 +753,9 @@ class LoradsSolver:
             1.0 + abs(self.pobj) + abs(dobj_new))
         gap_now = abs(self.pobj - dobj_cur / self.scale_obj_his) / (
             1.0 + abs(self.pobj) + abs(dobj_cur / self.scale_obj_his))
-        return gap_new <= band or gap_now > band
-
-    def _repair_delta(self, lams):
-        """m-vector dual shift removing negative slack eigenvalues of
-        identity-direction blocks, or None if nothing to repair.
-        Lanczos Ritz values can only UNDER-estimate |lam_min|, so the
-        shift carries a 5% margin; the post-shift re-measurement
-        reports whatever violation remains."""
-        dirs = self._identity_directions()
-        delta = np.zeros(self.pd.m, dtype=np.float64)
-        hit = False
-        floor = -1e-14 * max(1.0, float(self.pd.c_nrm_inf))
-        for bk, bp, lam in zip(self.pd.buckets, self.ps.buckets, lams):
-            b_eff = 1 if bk.summed else bk.B
-            for b in range(b_eff):
-                plan = bp.plans[b]
-                d = dirs[plan.index]
-                if d is None:
-                    continue
-                lam_b = float(lam[b])
-                if not np.isfinite(lam_b) or lam_b >= floor:
-                    continue
-                slots, coefs = d
-                delta[slots] += 1.05 * lam_b * coefs
-                hit = True
-        return delta if hit else None
+        if gap_new <= band or gap_now > band:
+            return delta
+        return None
 
     def _bucket_plans(self, bk):
         for bp in self.ps.buckets:
@@ -917,6 +920,12 @@ class LoradsSolver:
                 status = SolverStatus.MAXITER
 
         Rbar = jax.tree.map(lambda u, v: 0.5 * (u + v), self.U, self.V)
+        # self.R was last written at ALM exit (or the level-2 reopt
+        # averaging); the certified DIMACS numbers above are for
+        # X_bar = avg(U, V).  Align the solver's extraction surfaces
+        # (x_blocks / factor_blocks / save_solution) with what was
+        # just reported.
+        self.R = Rbar
         pinf_inf = self.pinf_l1 * (1 + self.pd.b_nrm1) / (
             1 + self.pd.b_nrm_inf)
         return SolveResult(
@@ -996,8 +1005,10 @@ def _find_identity_direction(blk, others):
 
 
 # Dense slack blocks up to this dim get an exact eigh certificate
-# instead of the Lanczos sweep (see _dual_infeas_device).
-_DENSE_EIG_DIM = 512
+# instead of the Lanczos sweep (see _dual_infeas_device).  Covers the
+# theta family (n=300/800 dense blocks), whose clustered spectra the
+# 36-step Lanczos under-estimates by up to ~25x.
+_DENSE_EIG_DIM = 1024
 
 
 @jax.jit
@@ -1050,7 +1061,12 @@ def _dual_infeas_device(pd, dual, v0s):
                 # (the 36-step Lanczos under-estimates |lam_min| by up
                 # to ~25x on clustered small-block spectra; exact here
                 # is one cheap [B, n, n] eigh).  TPU eigh runs f32 on
-                # the normalized operator; CPU keeps f64.
+                # the normalized operator (error ~1e-5..1e-4 absolute
+                # at n~1024, rescaled by ws — far below the dinf bands
+                # dense-mode problems carry, and far above the Lanczos
+                # error it replaces); CPU keeps f64.
+                # Measured: theta800 certifies at 48.5 s with this
+                # exact certificate (dinf_l1 3.0e-6).
                 We = Wn if jax.default_backend() == "cpu" \
                     else Wn.astype(jnp.float32)
                 lam = jnp.linalg.eigvalsh(We)[:, 0].astype(W.dtype)

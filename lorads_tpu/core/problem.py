@@ -247,3 +247,37 @@ def split_objectives(problems: List["SDPProblem"], x_blocks,
             ci += p.lp.n_cols
         out.append(obj)
     return out
+
+
+def _block_objective_from_factor(blk: SDPBlockData, F) -> float:
+    """<C, F F^T> from sparse C entries (lower-tri, implicit symmetry)
+    without forming X: O(nnz * r)."""
+    F = np.asarray(F, dtype=np.float64)
+    if blk.obj_val.size == 0:
+        return 0.0
+    dots = np.sum(F[blk.obj_row] * F[blk.obj_col], axis=1)
+    w = np.where(blk.obj_row == blk.obj_col, 1.0, 2.0)
+    return float(np.dot(blk.obj_val * w, dots))
+
+
+def split_objectives_factors(problems: List["SDPProblem"], factors,
+                             lp_vals=None) -> List[float]:
+    """Per-instance objectives from FACTORS (X_i = F_i F_i^T) of a
+    merged-batch solution — the O(nnz * r) form of
+    :func:`split_objectives` (a dense X at the scales the batching
+    feature targets would be tens of GB).  ``factors``:
+    LoradsSolver.factor_blocks output, merged block order."""
+    out = []
+    bi = 0
+    ci = 0
+    for p in problems:
+        obj = 0.0
+        for b in p.blocks:
+            obj += _block_objective_from_factor(b, factors[bi])
+            bi += 1
+        if p.lp is not None:
+            obj += float(np.dot(p.lp.obj,
+                                lp_vals[ci:ci + p.lp.n_cols]))
+            ci += p.lp.n_cols
+        out.append(obj)
+    return out
