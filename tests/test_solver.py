@@ -190,6 +190,48 @@ def test_solution_output(tmp_path):
     assert obj == pytest.approx(res.pobj, rel=1e-3, abs=1e-3)
 
 
+def test_extraction_matches_reported_objective_after_admm():
+    """x_blocks/factor_blocks must reproduce the REPORTED pobj after a
+    solve where ADMM does the work (regression: they used to return
+    the stale ALM-exit factors)."""
+    problem = generators.maxcut(n=200, avg_degree=4, seed=6)
+    # loose phase-1 tolerance -> ALM hands off early, ADMM finishes
+    res = _solve(problem, phase1_tol=0.5)
+    assert res.pinf_l1 <= 1e-5
+    s = LoradsSolver(problem, LoradsParams(verbose=False,
+                                           phase1_tol=0.5))
+    res2 = s.solve()
+    xs, _ = s.x_blocks()
+    obj = float(np.sum(problem.blocks[0].dense_obj() * xs[0]))
+    assert obj == pytest.approx(res2.pobj, rel=1e-6, abs=1e-6)
+    fs, _ = s.factor_blocks()
+    obj_f = float(np.sum(problem.blocks[0].dense_obj()
+                         * (fs[0] @ fs[0].T)))
+    assert obj_f == pytest.approx(res2.pobj, rel=1e-6, abs=1e-6)
+
+
+def test_infeasible_problem_terminates_gracefully():
+    """Contradictory constraints (X_00 = 1 and X_00 = 2) must end in a
+    non-optimal status with honestly-large pinf — no hang, no crash
+    (reference behavior: MAXITER with unmet tolerance)."""
+    from lorads_tpu.core.problem import SDPBlockData, SDPProblem
+
+    blk = SDPBlockData(
+        dim=4, m=2,
+        obj_row=np.array([0], dtype=np.int32),
+        obj_col=np.array([0], dtype=np.int32),
+        obj_val=np.array([1.0]),
+        a_con=np.array([0, 1], dtype=np.int32),
+        a_row=np.array([0, 0], dtype=np.int32),
+        a_col=np.array([0, 0], dtype=np.int32),
+        a_val=np.array([1.0, 1.0]))
+    problem = SDPProblem(m=2, rhs=np.array([1.0, 2.0]), blocks=[blk])
+    res = _solve(problem, time_sec_limit=120.0)
+    assert res.status in (SolverStatus.MAXITER,
+                          SolverStatus.TIME_LIMIT)
+    assert res.pinf_l1 > 1e-2  # the violation is reported, not hidden
+
+
 def test_checkpoint_roundtrip(tmp_path):
     """State saved mid-solve restores bit-exactly and resumes."""
     import jax.numpy as jnp
