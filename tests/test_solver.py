@@ -210,6 +210,21 @@ def test_extraction_matches_reported_objective_after_admm():
     assert obj_f == pytest.approx(res2.pobj, rel=1e-6, abs=1e-6)
 
 
+def test_lp_only_problem():
+    """A problem with ONLY the LP (diagonal) block and no SDP cones:
+    min x0 + 2 x1 s.t. x0 + x1 = 1, x >= 0 -> opt 1 at (1, 0)."""
+    from lorads_tpu.core.problem import LPBlockData, SDPProblem
+
+    lp = LPBlockData(n_cols=2, m=1, obj=np.array([1.0, 2.0]),
+                     a_con=np.array([0, 0], dtype=np.int32),
+                     a_col=np.array([0, 1], dtype=np.int32),
+                     a_val=np.array([1.0, 1.0]))
+    problem = SDPProblem(m=1, rhs=np.array([1.0]), blocks=[], lp=lp)
+    res = _solve(problem)
+    assert res.pinf_l1 <= 1e-5
+    assert res.pobj == pytest.approx(1.0, abs=1e-4)
+
+
 def test_infeasible_problem_terminates_gracefully():
     """Contradictory constraints (X_00 = 1 and X_00 = 2) must end in a
     non-optimal status with honestly-large pinf — no hang, no crash
