@@ -597,6 +597,56 @@ class LoradsSolver:
             arrs["lp"] = lp_vals
         np.savez_compressed(path, **arrs)
 
+    def set_initial_factors(self, factors, lp_vals=None,
+                            dual=None) -> None:
+        """Warm start: seed R/U/V from per-ORIGINAL-block factors
+        (the format :meth:`factor_blocks` returns) before solve().
+
+        Production re-solve loop: solve -> factor_blocks -> perturb
+        the problem -> set_initial_factors -> solve.  Columns beyond
+        the bucket's current rank are truncated; missing columns are
+        filled with the scaled identity (the same fill AUG_RANK uses,
+        lorads_solver.c:776-786).  ``lp_vals``: nonnegative LP column
+        values x (factored as u = sqrt(x)); ``dual``: the UNSCALED
+        dual vector (e.g. SolveResult.dual).
+        """
+        cones = []
+        for bp, Rb in zip(self.ps.buckets, self.R.cones):
+            new = np.zeros(Rb.shape)
+            r = Rb.shape[2]
+            for b, plan in enumerate(bp.plans):
+                F = np.asarray(factors[plan.index], dtype=np.float64)
+                if F.ndim != 2 or F.shape[0] != plan.dim:
+                    raise ValueError(
+                        f"block {plan.index}: factor shape {F.shape} "
+                        f"!= ({plan.dim}, r)")
+                k = min(F.shape[1], r)
+                new[b, : plan.dim, :k] = F[:, :k]
+                if F.shape[1] < r:
+                    aug = r - F.shape[1]
+                    rr = min(plan.dim, aug)
+                    new[b, : plan.dim, F.shape[1]:] = (
+                        np.eye(plan.dim, aug) / math.sqrt(max(rr, 1)))
+            arr = jnp.asarray(new, self.dtype)
+            if hasattr(Rb, "sharding") and self.mesh is not None:
+                arr = jax.device_put(arr, Rb.sharding)
+            cones.append(arr)
+        lp = self.R.lp
+        if lp_vals is not None and self.pd.lp is not None:
+            x = np.asarray(lp_vals, dtype=np.float64)
+            if np.any(x < -1e-12):
+                raise ValueError("lp_vals must be nonnegative")
+            lp = jnp.asarray(np.sqrt(np.maximum(x, 0.0)), self.dtype)
+        fv = FactorVec(tuple(cones), lp)
+        self.R = fv
+        self.U = fv
+        self.V = fv
+        if dual is not None:
+            self.dual = jnp.asarray(
+                np.asarray(dual, np.float64) * self.scale_obj_his,
+                self.dtype)
+        self.hist = make_history(self.R, self.lbfgs_len)
+
     def save(self, path: str, alm_stats=None, admm_stats=None,
              phase: str = "alm") -> None:
         from lorads_tpu.utils.checkpoint import save_checkpoint

@@ -210,6 +210,40 @@ def test_extraction_matches_reported_objective_after_admm():
     assert obj_f == pytest.approx(res2.pobj, rel=1e-6, abs=1e-6)
 
 
+def test_warm_start_from_factors():
+    """set_initial_factors seeds a re-solve that converges in fewer
+    ALM iterations than the cold solve (and to the same objective)."""
+    problem = generators.maxcut(n=200, avg_degree=4, seed=8)
+    params = LoradsParams(verbose=False)
+    cold = LoradsSolver(problem, params)
+    res_cold = cold.solve()
+    fs, lp_vals = cold.factor_blocks()
+
+    warm = LoradsSolver(problem, params)
+    warm.set_initial_factors(fs, lp_vals, dual=res_cold.dual)
+    res_warm = warm.solve()
+    assert res_warm.pinf_l1 <= 1e-5
+    assert res_warm.pobj == pytest.approx(res_cold.pobj, rel=1e-5,
+                                          abs=1e-4)
+    assert (res_warm.alm_stats.inner_iter
+            < 0.5 * res_cold.alm_stats.inner_iter)
+
+    # perturbed re-solve: small weight noise, warm start still helps
+    import dataclasses as _dc
+    blk = problem.blocks[0]
+    rng = np.random.default_rng(0)
+    blk2 = _dc.replace(blk, obj_val=blk.obj_val
+                       * (1.0 + 0.01 * rng.standard_normal(
+                           blk.obj_val.shape)))
+    problem2 = _dc.replace(problem, blocks=[blk2])
+    warm2 = LoradsSolver(problem2, params)
+    warm2.set_initial_factors(fs, lp_vals, dual=res_cold.dual)
+    res2 = warm2.solve()
+    assert res2.pinf_l1 <= 1e-5
+    assert (res2.alm_stats.inner_iter
+            < 0.8 * res_cold.alm_stats.inner_iter)
+
+
 def test_lp_only_problem():
     """A problem with ONLY the LP (diagonal) block and no SDP cones:
     min x0 + 2 x1 s.t. x0 + x1 = 1, x >= 0 -> opt 1 at (1, 0)."""
