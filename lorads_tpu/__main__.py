@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "directions (theta trace, Max-Cut diag "
                         "family) to remove negative slack "
                         "eigenvalues; dinf re-measured post-shift")
+    p.add_argument("--probInfo", action="store_true",
+                   help="print the problem-information dump "
+                        "(printfProbInfo equivalent) before solving")
     p.add_argument("--solOut", default=None, metavar="PATH",
                    help="write the solution to an .npz: per-block "
                         "factors f<i> (X_i = f_i f_i^T), LP values, "
@@ -150,6 +153,8 @@ def main(argv=None) -> int:
         checkpoint_path=args.checkpoint, trace_dir=args.traceDir)
 
     solver = LoradsSolver(problem, params)
+    if args.probInfo:
+        print(solver.prob_info())
     if args.resume:
         meta = solver.load(args.resume)
         print(f"resumed from {args.resume} (phase {meta['phase']})")

@@ -538,6 +538,47 @@ class LoradsSolver:
     # Checkpoint / resume (no reference counterpart; SURVEY.md §5).
     # ------------------------------------------------------------------
 
+    def prob_info(self) -> str:
+        """Problem dump mirroring the reference's `printfProbInfo`
+        (lorads_solver.c:1173-1231): cone counts, block dims, per-cone
+        layout view (here: union-pattern size/density and the static
+        kernel mode that replaces the reference's runtime cone/matrix
+        vtables), and initial ranks."""
+        plans = sorted(
+            ((bp, bk, pl) for bp, bk in zip(self.ps.buckets,
+                                            self.pd.buckets)
+             for pl in bp.plans), key=lambda t: t[2].index)
+        lines = ["-" * 71, "Problem Information:"]
+        lines.append(f"\t 1.Number of SDP Cones:         : "
+                     f"{len(plans):10d}")
+        lines.append(f"\t 2.Number of LP Cones:          : "
+                     f"{self.problem.n_lp_cols:10d}")
+        lines.append(f"\t 3.Number of Constraints:       : "
+                     f"{self.problem.m:10d}")
+        lines.append("\t 4.sdp block dims:              : "
+                     + ",".join(f"{pl.dim:3d}" for _, _, pl in plans)
+                     + ",")
+        for bp, bk, pl in plans:
+            tri = pl.dim * (pl.dim + 1) // 2
+            if bk.diag_ident:
+                mode = "sparse(diag-identity fast path)"
+            elif bk.dense:
+                mode = "dense(full lower triangle)"
+            else:
+                mode = "sparse(union pattern)"
+            if bk.summed:
+                mode += " sharded(sp)"
+            lines.append(f"iCone:{pl.index}")
+            lines.append(
+                f"\t dim:{pl.dim} nConstr:{pl.m_loc} "
+                f"unionNnz:{pl.K} density:{pl.K / max(tri, 1):.4f} "
+                f"mode:{mode} rank:{bp.rank}")
+        lines.append("Initial rank:")
+        for bp, _, pl in plans:
+            lines.append(f"iCone:{pl.index}, rank:{bp.rank}")
+        lines.append("-" * 71)
+        return "\n".join(lines)
+
     def x_blocks(self, R: Optional[FactorVec] = None):
         """Reconstruct the primal solution: dense X_i = R_i R_i^T per
         SDP block (in ORIGINAL block order) plus the LP column values.
@@ -696,15 +737,17 @@ class LoradsSolver:
             return self._ident_dirs
         blocks = self.problem.blocks
         lp = self.problem.lp
-        used = [np.unique(b.a_con) for b in blocks]
-        dirs = []
-        for i, blk in enumerate(blocks):
-            others = [u for j, u in enumerate(used) if j != i]
-            if lp is not None:
-                others.append(np.unique(lp.a_con))
-            others = (np.unique(np.concatenate(others)) if others
-                      else np.zeros(0, np.int64))
-            dirs.append(_find_identity_direction(blk, others))
+        # one global owner-count pass: a slot is exclusive to a block
+        # iff exactly one owner (block or LP) touches it — O(total nnz)
+        # instead of re-unioning the other K-1 blocks per block (which
+        # was quadratic-ish on large merged batches)
+        owners = np.zeros(self.problem.m, dtype=np.int32)
+        for b in blocks:
+            owners[np.unique(b.a_con)] += 1
+        if lp is not None:
+            owners[np.unique(lp.a_con)] += 1
+        shared = owners > 1
+        dirs = [_find_identity_direction(blk, shared) for blk in blocks]
         self._ident_dirs = dirs
         return dirs
 
@@ -803,7 +846,16 @@ class LoradsSolver:
             1.0 + abs(self.pobj) + abs(dobj_new))
         gap_now = abs(self.pobj - dobj_cur / self.scale_obj_his) / (
             1.0 + abs(self.pobj) + abs(dobj_cur / self.scale_obj_his))
-        if gap_new <= band or gap_now > band:
+        # Never move the gap OUT of the status-classification band
+        # (main.c:478-487 uses 5*tol regardless of high_acc_mode): in
+        # high-acc the repair band is the tighter phase2_tol, and an
+        # unconditional "gap was failing the repair band anyway"
+        # waiver could take a solve that classifies PRIMAL_DUAL_OPTIMAL
+        # (gap 3e-5 <= 5e-5) and shift it to MAXITER (gap 1e-3).
+        cls_band = 5 * p.phase2_tol
+        if (gap_new <= band
+                or (gap_new <= cls_band and gap_now > band)
+                or gap_now > cls_band):
             return delta
         return None
 
@@ -999,10 +1051,12 @@ def solve(problem: SDPProblem, params: Optional[LoradsParams] = None,
     return LoradsSolver(problem, params).solve()
 
 
-def _find_identity_direction(blk, others):
+def _find_identity_direction(blk, shared):
     """Identity direction of one block for the dual repair (see
     LoradsSolver._identity_directions): returns (slots, coefs) with
     A*(coefs at slots) = I restricted to this block, or None.
+    ``shared``: length-m bool mask of constraint rows touched by more
+    than one owner (block or LP) — those slots are never usable.
 
     Two recognized shapes:
     * a trace-style constraint: one block-exclusive constraint whose
@@ -1022,7 +1076,7 @@ def _find_identity_direction(blk, others):
     cand = np.nonzero((total_cnt == blk.dim)
                       & (diag_cnt == blk.dim))[0]
     if cand.size:
-        cand = cand[~np.isin(cand, others)]
+        cand = cand[~shared[cand]]
     for k in cand:
         sel = blk.a_con == k
         rows = blk.a_row[sel]
@@ -1035,7 +1089,7 @@ def _find_identity_direction(blk, others):
     # (b) single-entry diagonal family covering every row
     ks = np.nonzero((total_cnt == 1) & (diag_cnt == 1))[0]
     if ks.size:
-        ks = ks[~np.isin(ks, others)]
+        ks = ks[~shared[ks]]
     if ks.size:
         sel = np.isin(blk.a_con, ks)
         rows = blk.a_row[sel]
@@ -1111,16 +1165,23 @@ def _dual_infeas_device(pd, dual, v0s):
                 # (the 36-step Lanczos under-estimates |lam_min| by up
                 # to ~25x on clustered small-block spectra; exact here
                 # is one cheap [B, n, n] eigh).  TPU eigh runs f32 on
-                # the normalized operator (error ~1e-5..1e-4 absolute
-                # at n~1024, rescaled by ws — far below the dinf bands
-                # dense-mode problems carry, and far above the Lanczos
-                # error it replaces); CPU keeps f64.
+                # the normalized operator; on an f64-escalated solve a
+                # raw f32 eigenVALUE carries ~1e-5..1e-4 absolute error
+                # (rescaled by ws) — at the high-acc dinf band — so the
+                # f32 eigenVECTOR is refined by a Rayleigh quotient at
+                # operator precision, which SQUARES the f32 angle error
+                # (~1e-4 -> ~1e-8 relative).  CPU keeps native f64.
                 # Measured: theta800 certifies at 48.5 s with this
                 # exact certificate (dinf_l1 3.0e-6).
-                We = Wn if jax.default_backend() == "cpu" \
-                    else Wn.astype(jnp.float32)
-                lam = jnp.linalg.eigvalsh(We)[:, 0].astype(W.dtype)
-                lams.append(lam * ws)
+                if (jax.default_backend() == "cpu"
+                        or Wn.dtype == jnp.float32):
+                    lam = jnp.linalg.eigvalsh(Wn)[:, 0]
+                else:
+                    _, vecs = jnp.linalg.eigh(Wn.astype(jnp.float32))
+                    v = vecs[:, :, 0].astype(Wn.dtype)
+                    num = jnp.einsum("bn,bnm,bm->b", v, Wn, v)
+                    lam = num / jnp.einsum("bn,bn->b", v, v)
+                lams.append(lam.astype(W.dtype) * ws)
                 continue
         elif bk.split:
             W_d, W_o, W_oc = W

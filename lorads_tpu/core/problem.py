@@ -188,6 +188,7 @@ def merge_problems(problems: List["SDPProblem"]) -> "SDPProblem":
     solves one instance per process).  Use ``split_objectives`` (or
     ``LoradsSolver.x_blocks``) to read per-instance results back.
     """
+    m = sum(p.m for p in problems)
     m_off = 0
     blocks: List[SDPBlockData] = []
     lp_parts = []
@@ -195,7 +196,7 @@ def merge_problems(problems: List["SDPProblem"]) -> "SDPProblem":
     for p in problems:
         for b in p.blocks:
             blocks.append(SDPBlockData(
-                dim=b.dim, m=-1,
+                dim=b.dim, m=m,
                 obj_row=b.obj_row, obj_col=b.obj_col, obj_val=b.obj_val,
                 a_con=b.a_con + m_off, a_row=b.a_row, a_col=b.a_col,
                 a_val=b.a_val))
@@ -203,9 +204,6 @@ def merge_problems(problems: List["SDPProblem"]) -> "SDPProblem":
             lp_parts.append((m_off, p.lp))
         rhs.append(p.rhs)
         m_off += p.m
-    m = m_off
-    for b in blocks:
-        b.m = m
     lp = None
     if lp_parts:
         col_off = 0
@@ -233,6 +231,9 @@ def split_objectives(problems: List["SDPProblem"], x_blocks,
     ``x_blocks``: dense primal blocks of the MERGED problem in merged
     block order (LoradsSolver.x_blocks output); ``lp_vals``: merged LP
     column values (or None)."""
+    if lp_vals is None and any(p.lp is not None for p in problems):
+        raise ValueError("an instance has an LP block: pass the merged "
+                         "lp_vals (LoradsSolver.x_blocks()[1])")
     out = []
     bi = 0
     ci = 0
@@ -267,6 +268,9 @@ def split_objectives_factors(problems: List["SDPProblem"], factors,
     :func:`split_objectives` (a dense X at the scales the batching
     feature targets would be tens of GB).  ``factors``:
     LoradsSolver.factor_blocks output, merged block order."""
+    if lp_vals is None and any(p.lp is not None for p in problems):
+        raise ValueError("an instance has an LP block: pass the merged "
+                         "lp_vals (LoradsSolver.factor_blocks()[1])")
     out = []
     bi = 0
     ci = 0

@@ -67,10 +67,13 @@ def test_exclusivity_guard_lp_shared_constraint():
         a_col=np.arange(2, dtype=np.int32),
         a_val=np.ones(2))
     problem = SDPProblem(m=1, rhs=np.ones(1), blocks=[blk], lp=lp)
-    others = np.unique(lp.a_con).astype(np.int64)
-    assert _find_identity_direction(blk, others) is None
+    s = LoradsSolver(problem, LoradsParams(verbose=False))
+    assert s._identity_directions() == [None]
+    shared = np.zeros(1, dtype=bool)
+    shared[np.unique(lp.a_con)] = True
+    assert _find_identity_direction(blk, shared) is None
     # without the LP usage the same block IS a trace direction
-    assert _find_identity_direction(blk, np.zeros(0, np.int64)) \
+    assert _find_identity_direction(blk, np.zeros(1, dtype=bool)) \
         is not None
 
 
@@ -103,6 +106,32 @@ def test_repair_off_reports_violation():
     dinf = s.dual_infeasibility()
     assert dinf > 1e-4  # honest: S = C is not PSD
     assert float(jnp.sum(jnp.abs(s.dual))) == 0.0  # untouched
+
+
+def test_high_acc_repair_never_leaves_classification_band():
+    """Regression: in high_acc_mode the repair trigger band is
+    phase2_tol but status classification keeps the reference's
+    5*phase2_tol bands (main.c:478-487).  A repair on a solve whose
+    gap ALREADY passes classification (gap <= 5*tol) must not fire
+    when the dObj shift would push the gap out of that band —
+    previously the "gap was failing the (tighter) repair band anyway"
+    waiver let it through and downgraded OPTIMAL runs to MAXITER."""
+    problem = generators.maxcut(n=50, avg_degree=4, seed=1)
+    s = LoradsSolver(problem, LoradsParams(verbose=False,
+                                           high_acc_mode=True))
+    norm = s.scale_obj_his * (s.pd.c_nrm1 + 1.0)
+    # dinf fails the high-acc band (2e-5 > 1e-5) but would pass the
+    # 5e-5 classification band; gap_now = 3e-5 passes classification
+    val = 2e-5 * norm
+    lams = [np.asarray([-val])]
+    s.pobj = 1.0
+    d = 1.0 - 3e-5 * (2.0 + 1.0)  # gap_now ~ 3e-5
+    s.dual = jnp.full((problem.m,), d / problem.m, dtype=s.dtype)
+    assert s._repair_plan(0.0, lams) is None
+    # when the gap genuinely fails classification (1e-2 > 5e-5) the
+    # waiver still applies and the repair fires
+    s.dual = jnp.full((problem.m,), 0.97 / problem.m, dtype=s.dtype)
+    assert s._repair_plan(0.0, lams) is not None
 
 
 def test_theta_solve_with_repair_still_optimal():

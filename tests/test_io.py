@@ -213,9 +213,12 @@ def test_cli_end_to_end_flags(tmp_path, capsys):
     f = tmp_path / "mc.dat-s"
     write_sdpa(str(f), generators.maxcut(n=40, avg_degree=4, seed=2))
 
-    assert main([str(f), "--quiet"]) == 0
+    assert main([str(f), "--quiet", "--probInfo"]) == 0
     out = capsys.readouterr().out
     assert "primal_dual_optimal" in out and "Constraint Violation" in out
+    # printfProbInfo-equivalent dump (lorads_solver.c:1173-1231)
+    assert "Problem Information:" in out
+    assert "Number of SDP Cones" in out and "Initial rank:" in out
 
     ck = tmp_path / "state.ckpt"
     assert main([str(f), "--quiet", "--timesLogRank", "2.0",

@@ -534,3 +534,29 @@ def test_batched_instance_solving():
     objs = split_objectives(probs, xs, lp_vals)
     for got, ref in zip(objs, singles):
         assert got == pytest.approx(ref, rel=1e-4)
+
+
+def test_split_objectives_lp_requires_lp_vals():
+    # instances with an LP block must get the merged lp_vals — the
+    # documented lp_vals=None default only applies to SDP-only batches
+    from lorads_tpu.core.problem import (merge_problems, split_objectives,
+                                         split_objectives_factors)
+
+    probs = [generators.random_multiblock(n_blocks=1, dim=12, m=6,
+                                          n_lp=4, seed=s)
+             for s in (1, 2)]
+    merged = merge_problems(probs)
+    s = LoradsSolver(merged, LoradsParams(verbose=False))
+    res = s.solve()
+    xs, lp_vals = s.x_blocks(res.R)
+    assert lp_vals is not None
+    with pytest.raises(ValueError, match="LP block"):
+        split_objectives(probs, xs)
+    fs, _ = s.factor_blocks()
+    with pytest.raises(ValueError, match="LP block"):
+        split_objectives_factors(probs, fs)
+    # with lp_vals both forms agree
+    a = split_objectives(probs, xs, lp_vals)
+    b = split_objectives_factors(probs, fs, lp_vals)
+    for x, y in zip(a, b):
+        assert x == pytest.approx(y, rel=1e-6, abs=1e-8)
