@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "directions (theta trace, Max-Cut diag "
                         "family) to remove negative slack "
                         "eigenvalues; dinf re-measured post-shift")
+    p.add_argument("--warmStart", default=None, metavar="PATH",
+                   help="seed the solve from a previous --solOut .npz "
+                        "(per-block factors, LP values, dual); see "
+                        "LoradsSolver.set_initial_factors")
     p.add_argument("--probInfo", action="store_true",
                    help="print the problem-information dump "
                         "(printfProbInfo equivalent) before solving")
@@ -158,6 +162,20 @@ def main(argv=None) -> int:
     if args.resume:
         meta = solver.load(args.resume)
         print(f"resumed from {args.resume} (phase {meta['phase']})")
+    if args.warmStart:
+        import numpy as np
+        try:
+            with np.load(args.warmStart) as z:
+                fs = [z[f"f{i}"]
+                      for i in range(problem.n_sdp_blocks)]
+                lp_vals = z["lp"] if "lp" in z.files else None
+                dual = z["y"] if "y" in z.files else None
+            solver.set_initial_factors(fs, lp_vals, dual=dual)
+        except (OSError, KeyError, ValueError) as e:
+            print(f"error: could not warm-start from "
+                  f"{args.warmStart}: {e}", file=sys.stderr)
+            return 2
+        print(f"warm started from {args.warmStart}")
     from lorads_tpu.utils.profiling import device_trace
     with device_trace(args.traceDir):
         res = solver.solve()

@@ -221,10 +221,21 @@ def test_cli_end_to_end_flags(tmp_path, capsys):
     assert "Number of SDP Cones" in out and "Initial rank:" in out
 
     ck = tmp_path / "state.ckpt"
+    sol = tmp_path / "sol.npz"
     assert main([str(f), "--quiet", "--timesLogRank", "2.0",
                  "--ALMRhoFactor", "2.0", "--lbfgsListLength", "2",
-                 "--dualUV", "1", "--checkpoint", str(ck)]) == 0
-    assert ck.exists()
+                 "--dualUV", "1", "--checkpoint", str(ck),
+                 "--solOut", str(sol)]) == 0
+    assert ck.exists() and sol.exists()
     assert main([str(f), "--quiet", "--resume", str(ck)]) == 0
     out = capsys.readouterr().out
     assert "resumed from" in out
+    # warm start from the exported solution
+    assert main([str(f), "--quiet", "--warmStart", str(sol)]) == 0
+    out = capsys.readouterr().out
+    assert "warm started from" in out
+    assert "primal_dual_optimal" in out
+    # corrupt warm-start input -> friendly error, exit 2
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"not an npz")
+    assert main([str(f), "--quiet", "--warmStart", str(bad)]) == 2
