@@ -1,72 +1,140 @@
-"""Benchmark driver: Max-Cut G-set-style time-to-tolerance.
+"""Benchmark driver: multi-family time-to-tolerance sweep.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Emits one JSON line PER FAMILY as each completes (progress + per-family
+regression visibility), then the final headline line LAST:
 
-Baseline (BASELINE.md): the reference C LoRADS solves its README
-worked example (m=2964) in 9.84 s on an unspecified CPU; the repo
-publishes no G-set numbers.  As the closest reproducible anchor we use
-the reference solver's own algorithmic profile: time to reach
-phase2Tol-level DIMACS errors (pinf <= 1e-5, gap <= 5e-5) on a
-G-set-like Max-Cut instance (n=2000, avg degree 6).  vs_baseline is
-measured solve wall-clock over a 10 s nominal reference budget for an
-instance of this size class (README.md:109 scale anchor).
+  {"metric": "maxcut_n20000_time_to_1e-5", "value": N, "unit": "s",
+   "vs_baseline": N, ..., "families": [...]}
+
+— same schema the driver parsed in round 1, now carrying the whole
+family table (VERDICT r1 "Next round" #3).
+
+Baselines (BASELINE.md "Measured on this machine"): the reference C
+LoRADS binary built from /root/reference (Release, single thread) and
+run on this container's CPU; families without a reference number are
+reported with vs_baseline = null.  theta800 is censored: the reference
+never reaches tolerance (gap 8e-3 at 165 s, still unconverged at the
+400 s timeout), so its ratio uses 400 s as a LOWER bound.
+
+Env knobs:
+  BENCH_FAMILIES  comma list (default: all seven)
+  BENCH_N         legacy single-maxcut mode (overrides BENCH_FAMILIES)
+  BENCH_BUDGET_S  soft wall-clock budget; families beyond it are
+                  skipped and listed as such (default 2400)
 """
 
+import dataclasses
 import json
 import os
 import time
 
-# Reference C LoRADS wall-clock measured on this machine (BASELINE.md,
-# "Measured on this machine"): maxcut n=2000 deg6 -> 0.367 s total,
-# n=20000 deg8 -> 28.12 s total.
-BASELINES = {2000: 0.367, 20000: 28.12}
+# Reference C wall-clock measured on this machine (BASELINE.md +
+# docs/ROUND1_NOTES.md performance ledger).  None = reference cannot
+# run it (n>=50000: int32 overflow, 64-bit build broken).
+BASELINES = {
+    "maxcut2000": 0.367,
+    "maxcut20000": 28.12,
+    "maxcut100000": None,
+    "matcomp500": 1.6,
+    "matcomp2000": 7.23,
+    "theta300": 88.0,
+    "theta800": 400.0,       # censored lower bound (never converges)
+}
+CENSORED = {"theta800"}
+
+# headline first so the driver's metric is always captured even if the
+# budget truncates the sweep
+DEFAULT_FAMILIES = ("maxcut20000", "maxcut2000", "matcomp500",
+                    "matcomp2000", "theta300", "maxcut100000",
+                    "theta800")
 
 
-def main():
-    n = int(os.environ.get("BENCH_N", "20000"))
-    deg = 8 if n >= 20000 else 6
+def make_problem(name):
     from lorads_tpu.io import generators
-    from lorads_tpu import LoradsParams
+    if name.startswith("maxcut"):
+        n = int(name[len("maxcut"):])
+        deg = 10 if n >= 50000 else (8 if n >= 20000 else 6)
+        return generators.maxcut(n=n, avg_degree=deg, seed=7)
+    if name.startswith("matcomp"):
+        n = int(name[len("matcomp"):])
+        return generators.matrix_completion(n1=n, n2=n, true_rank=3,
+                                            frac_obs=0.12, seed=3)
+    if name.startswith("theta"):
+        n = int(name[len("theta"):])
+        return generators.lovasz_theta(n=n, avg_degree=8, seed=5)
+    raise ValueError(name)
+
+
+def run_family(name, params):
     from lorads_tpu.alg.solver import LoradsSolver
-
-    problem = generators.maxcut(n=n, avg_degree=deg, seed=7)
-    # auto: f32 on TPU with f64 escalation if the noise floor blocks
-    # the tolerance (maxcut converges fully at f32)
-    params = LoradsParams(verbose=False, time_sec_limit=600.0,
-                          reopt_level=2, dtype="auto")
-
+    problem = make_problem(name)
     # Warm-up solve: compiles every phase graph.  Remote-compile
     # latency counts against the solver's time limit, so lift it here
     # or the warm-up aborts mid-phase and leaves later graphs cold.
-    import dataclasses
-    warm_params = dataclasses.replace(params, time_sec_limit=1e9)
-    solver = LoradsSolver(problem, warm_params)
+    warm = dataclasses.replace(params, time_sec_limit=1e9)
     t0 = time.time()
-    res = solver.solve()
-    total_with_compile = time.time() - t0
-
-    solver2 = LoradsSolver(problem, params)
+    LoradsSolver(problem, warm).solve()
+    warm_s = time.time() - t0
     t0 = time.time()
-    res = solver2.solve()
-    solve_seconds = time.time() - t0
+    res = LoradsSolver(problem, params).solve()
+    steady = time.time() - t0
 
-    ok = (res.pinf_l1 <= params.phase2_tol
-          and res.gap <= 5 * params.phase2_tol)
-    base = BASELINES.get(n, 0.367 * n / 2000.0)
-    out = {
-        "metric": f"maxcut_n{n}_time_to_1e-5",
-        "value": round(solve_seconds, 3),
+    tol = params.phase2_tol
+    ok = res.pinf_l1 <= tol and res.gap <= 5 * tol
+    base = BASELINES.get(name)
+    rec = {
+        "metric": f"{name}_time_to_1e-5",
+        "value": round(steady, 3),
         "unit": "s",
-        "vs_baseline": round(base / max(solve_seconds, 1e-9), 3),
+        "vs_baseline": (round(base / max(steady, 1e-9), 3)
+                        if base else None),
+        "baseline_censored": name in CENSORED or None,
         "converged": bool(ok),
         "status": res.status.value,
         "pinf_l1": res.pinf_l1,
         "gap": res.gap,
         "dinf_l1": res.dinf_l1,
-        "compile_overhead_s": round(total_with_compile - solve_seconds, 3),
+        "compile_overhead_s": round(warm_s - steady, 3),
     }
-    print(json.dumps(out))
+    return {k: v for k, v in rec.items() if v is not None or
+            k in ("vs_baseline",)}
+
+
+def main():
+    from lorads_tpu import LoradsParams
+
+    if os.environ.get("BENCH_N"):
+        families = [f"maxcut{int(os.environ['BENCH_N'])}"]
+    else:
+        families = os.environ.get(
+            "BENCH_FAMILIES", ",".join(DEFAULT_FAMILIES)).split(",")
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+
+    params = LoradsParams(verbose=False, time_sec_limit=600.0,
+                          reopt_level=2, dtype="auto")
+    t_all = time.time()
+    records = []
+    for name in families:
+        if time.time() - t_all > budget and records:
+            records.append({"metric": f"{name}_time_to_1e-5",
+                            "skipped": "budget"})
+            print(json.dumps(records[-1]), flush=True)
+            continue
+        try:
+            rec = run_family(name.strip(), params)
+        except Exception as e:  # a family failure must not hide the rest
+            rec = {"metric": f"{name}_time_to_1e-5",
+                   "error": f"{type(e).__name__}: {e}"}
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    head = next((r for r in records
+                 if r["metric"] == "maxcut20000_time_to_1e-5"), None)
+    out = dict(head) if head else dict(records[0])
+    if head:
+        out["metric"] = "maxcut_n20000_time_to_1e-5"  # round-1 name
+    out["families"] = records
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

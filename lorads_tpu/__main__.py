@@ -163,6 +163,8 @@ def main(argv=None) -> int:
         meta = solver.load(args.resume)
         print(f"resumed from {args.resume} (phase {meta['phase']})")
     if args.warmStart:
+        import zipfile
+
         import numpy as np
         try:
             with np.load(args.warmStart) as z:
@@ -171,7 +173,10 @@ def main(argv=None) -> int:
                 lp_vals = z["lp"] if "lp" in z.files else None
                 dual = z["y"] if "y" in z.files else None
             solver.set_initial_factors(fs, lp_vals, dual=dual)
-        except (OSError, KeyError, ValueError) as e:
+        except (OSError, KeyError, ValueError,
+                zipfile.BadZipFile) as e:
+            # BadZipFile: np.load raises it (not OSError) for a
+            # corrupt/truncated archive that still has the PK magic
             print(f"error: could not warm-start from "
                   f"{args.warmStart}: {e}", file=sys.stderr)
             return 2

@@ -152,6 +152,8 @@ class LoradsSolver:
         if mode == "off":
             return
         devs = jax.devices()
+        if self.params.n_devices is not None:
+            devs = devs[: self.params.n_devices]
         nd = len(devs)
         if nd < 2:
             return
@@ -560,7 +562,10 @@ class LoradsSolver:
                      + ",")
         for bp, bk, pl in plans:
             tri = pl.dim * (pl.dim + 1) // 2
-            if bk.diag_ident:
+            if bk.diag_ident or bk.diag_parent:
+                # diag_parent: summed (sp) shards of a diag-identity
+                # parent cone — per-shard diag_ident is always False,
+                # but the kernels ride the same fast path
                 mode = "sparse(diag-identity fast path)"
             elif bk.dense:
                 mode = "dense(full lower triangle)"

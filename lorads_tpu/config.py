@@ -97,7 +97,9 @@ class LoradsParams:
     per_matrix_dense_threshold: float = 0.1  # lorads_sdp_data.c:811-828
     dense_dim_threshold: int = 20    # dims below this always dense (conic.c:884)
     sparse_cone_threshold: float = 0.3   # lorads.h:13
-    n_devices: Optional[int] = None  # None -> all local devices
+    # Cap on devices used by --shard placement (solver._maybe_shard
+    # meshes jax.devices()[:n_devices]).  None -> all local devices.
+    n_devices: Optional[int] = None
     admm_jacobi: bool = False        # Jacobi within multi-block buckets
     # reference compile-time DUAL_U_V feature define (lorads_admm.c:483-591):
     # +/-S consensus terms in the ADMM subproblems; S stays at its

@@ -1,5 +1,13 @@
-"""One-hot MXU window kernels: sorted segment-sum / sorted row-gather
-as dense matmuls.
+"""EXPERIMENTAL (unwired): one-hot MXU window kernels — sorted
+segment-sum / sorted row-gather as dense matmuls.
+
+Status: a correct, unit-tested reference kernel that is NOT used by
+the production path.  Honest `device_get` timing measured every
+compiling variant at parity with XLA's plain sorted segment-sum
+(1.75-4.5 ms on the n=20000/K=80000/r=24 scatter, nowhere near the
+~0.5 ms bar), so wiring it in buys nothing — see docs/DESIGN.md
+"Kernel architecture" §4 for the full negative result.  Revisit only
+with an on-chip compiler and a fused producer-consumer design.
 
 TPU has no fast scatter or gather: XLA lowers both to ~20 ns/row
 scalar-issue loops.  But when the ids are SORTED, the rows feeding any
