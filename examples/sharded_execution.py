@@ -98,6 +98,17 @@ def integrated_solves(n_devices):
     print(f"integrated sp solve: {res.status.value}, "
           f"pinf {res.pinf_l1:.2e}, gap {res.gap:.2e}")
 
+    # tp: one large dense cone, n x n intermediates as row slabs over
+    # the mesh (per-chip memory ceiling n^2/D)
+    problem = generators.random_multiblock(n_blocks=1, dim=32, m=24,
+                                           density=0.3, seed=7)
+    solver = LoradsSolver(problem,
+                          LoradsParams(verbose=False, shard="tp"))
+    assert solver.pd.buckets[0].rowshard
+    res = solver.solve()
+    print(f"integrated tp solve: {res.status.value}, "
+          f"pinf {res.pinf_l1:.2e}, gap {res.gap:.2e}")
+
 
 if __name__ == "__main__":
     n = min(8, len(jax.devices()))

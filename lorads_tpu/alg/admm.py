@@ -221,7 +221,7 @@ def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
     cg_total = jnp.zeros((), jnp.int32)
     for j, bk in enumerate(pd.buckets):
         jac = jacobi[j] if isinstance(jacobi, tuple) else jacobi
-        simple = jac or bk.B == 1 or bk.summed
+        simple = jac or bk.B == 1 or bk.summed or bk.rowshard
         s_j = S.cones[j] if S is not None else None
         if simple:
             u_new, loc, constr_sum, it1, uc = _update_sdp_var_one(
@@ -427,7 +427,7 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
         dt = pd.rhs.dtype
         def init_cache(j, bk, x):
             jac = jacobi[j] if isinstance(jacobi, tuple) else jacobi
-            if jac or bk.B == 1 or bk.summed:
+            if jac or bk.B == 1 or bk.summed or bk.rowshard:
                 return pat.gather_cache(bk, x)
             return None
 

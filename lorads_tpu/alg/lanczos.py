@@ -96,31 +96,74 @@ def lanczos_min_eig(matvec: Callable, v0: jnp.ndarray, k: int = 36,
     return lam
 
 
-def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
-                           k: int = 36, restarts: int = 2) -> jnp.ndarray:
-    """Fully on-device variant: sweeps + batched k x k tridiagonal
-    eigh + Ritz restarts, no host round-trips.  For use INSIDE a
-    jitted caller (no closure-keyed jit cache entries; the whole dual
-    certificate becomes one dispatch).
+def _min_ritz(matvec: Callable, v: jnp.ndarray, k: int):
+    """One k-step sweep + tridiagonal eigh: smallest Ritz value, its
+    Ritz vector, and the residual bound ||A u - lam u|| = beta_k |s_k|
+    (exact for a Lanczos Ritz pair under full reorthogonalization).
 
     Breakdown slots are re-pointed at alpha_0 (a Rayleigh quotient,
     >= lambda_min) with zero coupling instead of the +1e30 sentinel —
     an in-range duplicate eigenvalue keeps the batched f32/f64 eigh
-    well conditioned without affecting the minimum.
+    well conditioned without affecting the minimum; the dead tail has
+    zero eigenvector weight so the residual estimate stays valid.
+    """
+    alphas, betas, Vs, _ = _sweep(matvec, v, k)
+    al = alphas.T                                  # [B, k]
+    al = jnp.where(al >= 1e29, al[:, 0:1], al)
+    be = betas.T[:, : max(k - 1, 0)]               # [B, k-1]
+    T = (jax.vmap(jnp.diag)(al)
+         + jax.vmap(lambda b: jnp.diag(b, 1))(be)
+         + jax.vmap(lambda b: jnp.diag(b, -1))(be))
+    evals, evecs = jnp.linalg.eigh(T)
+    lam = evals[:, 0]
+    s = evecs[:, :, 0]                             # [B, k]
+    resid = betas[k - 1].T * jnp.abs(s[:, k - 1])  # [B]
+    v_next = jnp.einsum("kbn,bk->bn", Vs, s)
+    return lam, v_next, resid
+
+
+def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
+                           k: int = 36, tol: float = 1e-2,
+                           maxit: int = 600) -> jnp.ndarray:
+    """Fully on-device ADAPTIVE variant: sweeps + batched k x k
+    tridiagonal eigh + Ritz restarts inside a while_loop, no host
+    round-trips.  For use INSIDE a jitted caller (no closure-keyed jit
+    cache entries; the whole dual certificate stays one dispatch).
+
+    Restart-until-converged replaces the fixed double restart: keep
+    restarting from the smallest Ritz vector until the Ritz residual
+    meets ARPACK's stopping rule ||A u - lam u|| <= tol * |lam|
+    (dsaupd "SA" tol semantics, lorads_sdp_conic.c:1306: tol=1e-2) on
+    EVERY block, bounded by ceil(maxit / k) restarts (ARPACK maxit
+    600).  Fixes the round-1 soft spot where clustered spectra left
+    the 2-restart Ritz value up to ~25x optimistic.
+
+    The caller pre-normalizes the operator to max|W| = 1, so Ritz
+    values are O(1) or below.  For |lam| -> 0 (a PSD-or-nearly slack)
+    the pure relative rule never fires, so an absolute floor keeps the
+    cost bounded below maxit: residuals under ``floor`` (1e-6 at f64 —
+    an eigenvalue error invisible to any dinf band after the 1/(1+
+    ||C||_1) normalization; 3e-5 at f32, just above the f32 sweep's
+    rounding-noise floor) count as converged.
     """
     B, n = v0.shape
     k = min(k, n)
-    v = v0
-    lam = None
-    for _ in range(restarts):
-        alphas, betas, Vs, _ = _sweep(matvec, v, k)
-        al = alphas.T                                  # [B, k]
-        al = jnp.where(al >= 1e29, al[:, 0:1], al)
-        be = betas.T[:, : max(k - 1, 0)]               # [B, k-1]
-        T = (jax.vmap(jnp.diag)(al)
-             + jax.vmap(lambda b: jnp.diag(b, 1))(be)
-             + jax.vmap(lambda b: jnp.diag(b, -1))(be))
-        evals, evecs = jnp.linalg.eigh(T)
-        lam = evals[:, 0]
-        v = jnp.einsum("kbn,bk->bn", Vs, evecs[:, :, 0])
+    max_restarts = max(-(-maxit // k), 2)
+    dt = v0.dtype
+    floor = 1e-4 if dt == jnp.float64 else 3e-3
+
+    def cond(c):
+        it, lam, v, resid = c
+        band = tol * jnp.maximum(jnp.abs(lam), jnp.asarray(floor, dt))
+        return jnp.logical_and(it < max_restarts,
+                               jnp.any(resid > band))
+
+    def body(c):
+        it, _, v, _ = c
+        lam, v_next, resid = _min_ritz(matvec, v, k)
+        return (it + 1, lam, v_next, resid)
+
+    init = (jnp.zeros((), jnp.int32), jnp.zeros((B,), dt), v0,
+            jnp.full((B,), jnp.finfo(dt).max, dt))
+    _, lam, _, _ = jax.lax.while_loop(cond, body, init)
     return lam

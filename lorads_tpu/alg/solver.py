@@ -161,12 +161,23 @@ class LoradsSolver:
         # sparse cone gets its UNION PATTERN sharded instead (summed
         # BucketData, parallel/pattern_sharded.py) — factors stay
         # replicated, the per-shard W.X partials psum over the mesh.
+        # tp: a single large DENSE cone gets its O(n^2) intermediates
+        # sharded by ROW SLAB (rowshard BucketData,
+        # parallel/row_sharded.py) — the per-chip memory ceiling for
+        # the n x n objects becomes n^2/D.
         dp_ok = [mode in ("auto", "dp") and bp.B % nd == 0 and bp.B >= nd
                  for bp in self.ps.buckets]
         sp_ok = [mode in ("auto", "sp") and not dp
                  and (not bp.dense) and bp.B == 1 and bp.K >= 16 * nd
                  for bp, dp in zip(self.ps.buckets, dp_ok)]
-        if not any(dp_ok) and not any(sp_ok):
+        # auto only engages tp when the dense block is big enough that
+        # slabbing pays (n^2 buffers >= ~64 MB at f32, i.e. n >= 4096);
+        # an explicit --shard tp takes any dense cone with n >= 2*nd
+        tp_ok = [bp.dense and bp.B == 1 and not dp and not sp
+                 and ((mode == "tp" and bp.n >= 2 * nd)
+                      or (mode == "auto" and bp.n >= 4096))
+                 for bp, dp, sp in zip(self.ps.buckets, dp_ok, sp_ok)]
+        if not any(dp_ok) and not any(sp_ok) and not any(tp_ok):
             return
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         self.mesh = Mesh(np.array(devs), ("blk",))
@@ -182,18 +193,23 @@ class LoradsSolver:
             return jax.tree.map(leaf, tree_)
 
         buckets = []
-        for bk, bp, dp, sp in zip(self.pd.buckets, self.ps.buckets,
-                                  dp_ok, sp_ok):
+        for bk, bp, dp, sp, tp in zip(self.pd.buckets, self.ps.buckets,
+                                      dp_ok, sp_ok, tp_ok):
             if sp:
                 from lorads_tpu.parallel.pattern_sharded import (
                     build_pattern_shards)
                 bk = build_pattern_shards(bp.plans[0], self.m, nd,
                                           self.dtype, summed=True)
-                if self.scale_obj_his != 1.0:
-                    # the shards are rebuilt from the RAW plan: re-apply
-                    # any reopt objective scaling (objScale_dualvar)
-                    bk = aop.scale_bucket(bk, self.scale_obj_his)
-            buckets.append(put(bk, dp or sp))
+            elif tp:
+                from lorads_tpu.parallel.row_sharded import (
+                    build_rowshard_bucket)
+                bk = build_rowshard_bucket(bp.plans[0], self.m, nd,
+                                           self.dtype)
+            if (sp or tp) and self.scale_obj_his != 1.0:
+                # the shards are rebuilt from the RAW plan: re-apply
+                # any reopt objective scaling (objScale_dualvar)
+                bk = aop.scale_bucket(bk, self.scale_obj_his)
+            buckets.append(put(bk, dp or sp or tp))
         self.pd = dataclasses.replace(
             self.pd, buckets=tuple(buckets),
             rhs=jax.device_put(self.pd.rhs, repl))
@@ -207,7 +223,8 @@ class LoradsSolver:
         self.hist = make_history(self.R, self.lbfgs_len)
         self.log(f"sharding: {nd}-device mesh, "
                  f"dp buckets {[i for i, ok in enumerate(dp_ok) if ok]}, "
-                 f"sp buckets {[i for i, ok in enumerate(sp_ok) if ok]}")
+                 f"sp buckets {[i for i, ok in enumerate(sp_ok) if ok]}, "
+                 f"tp buckets {[i for i, ok in enumerate(tp_ok) if ok]}")
 
     # ------------------------------------------------------------------
     # Variables.
@@ -573,6 +590,8 @@ class LoradsSolver:
                 mode = "sparse(union pattern)"
             if bk.summed:
                 mode += " sharded(sp)"
+            if bk.rowshard:
+                mode += " sharded(tp: row slabs)"
             lines.append(f"iCone:{pl.index}")
             lines.append(
                 f"\t dim:{pl.dim} nConstr:{pl.m_loc} "
@@ -710,7 +729,8 @@ class LoradsSolver:
         """One Lanczos dispatch: (lp_part, per-bucket min-eig arrays)."""
         v0s = []
         for bk, bp in zip(self.pd.buckets, self.ps.buckets):
-            b_eff = 1 if bk.summed else bk.B  # one logical cone per
+            b_eff = 1 if (bk.summed or bk.rowshard) else bk.B
+            # one logical cone per summed/rowsharded bucket
             v0 = self._rng.standard_normal((b_eff, bk.n))
             # mask padded rows so they stay out of the Krylov space
             v0 *= (np.arange(bk.n)[None, :]
@@ -830,7 +850,7 @@ class LoradsSolver:
         repairable = 0.0
         floor = -1e-14 * max(1.0, float(self.pd.c_nrm_inf))
         for bk, bp, lam in zip(self.pd.buckets, self.ps.buckets, lams):
-            b_eff = 1 if bk.summed else bk.B
+            b_eff = 1 if (bk.summed or bk.rowshard) else bk.B
             for b in range(b_eff):
                 d = dirs[bp.plans[b].index]
                 lam_b = float(lam[b])
@@ -1113,11 +1133,39 @@ def _find_identity_direction(blk, shared):
     return None
 
 
-# Dense slack blocks up to this dim get an exact eigh certificate
-# instead of the Lanczos sweep (see _dual_infeas_device).  Covers the
-# theta family (n=300/800 dense blocks), whose clustered spectra the
-# 36-step Lanczos under-estimates by up to ~25x.
+# Slack blocks up to this dim get an exact eigh certificate instead of
+# the Lanczos sweep (see _dual_infeas_device).  Covers the theta family
+# (n=300/800 dense blocks), whose clustered spectra a restarted Lanczos
+# resolves slowly; round 2 extends the rescue from dense-only to
+# sparse-mode blocks (densify_w) under a total-size budget.
 _DENSE_EIG_DIM = 1024
+# cap B * n^2 for the densified [B, n, n] slack (2^26 f64 = 512 MB)
+_DENSE_EIG_BUDGET = 2 ** 26
+
+
+def _exact_min_eig(Wn):
+    """Exact min eigenvalue of normalized slack blocks [B, n, n].
+
+    TPU eigh runs f32 on the normalized operator; on an f64-escalated
+    solve a raw f32 eigenVALUE carries ~1e-5..1e-4 absolute error
+    (rescaled by ws) — at the high-acc dinf band — so the f32
+    eigenVECTOR is refined by a Rayleigh quotient at operator
+    precision, which SQUARES the f32 angle error (~1e-4 -> ~1e-8
+    relative).  CPU keeps native f64.
+    """
+    if jax.default_backend() == "cpu" or Wn.dtype == jnp.float32:
+        return jnp.linalg.eigvalsh(Wn)[:, 0]
+    _, vecs = jnp.linalg.eigh(Wn.astype(jnp.float32))
+    v = vecs[:, :, 0].astype(Wn.dtype)
+    num = jnp.einsum("bn,bnm,bm->b", v, Wn, v)
+    return num / jnp.einsum("bn,bn->b", v, v)
+
+
+def _eig_rescue_ok(bk) -> bool:
+    """Small slack blocks (dense OR sparse-mode) get the exact eigh."""
+    return (not bk.summed and not bk.rowshard
+            and bk.n <= _DENSE_EIG_DIM
+            and bk.B * bk.n * bk.n <= _DENSE_EIG_BUDGET)
 
 
 @jax.jit
@@ -1140,7 +1188,8 @@ def _dual_infeas_device(pd, dual, v0s):
     lams = []
     for bk, v0 in zip(pd.buckets, v0s):
         w_loc = pat.gather_w(bk, neg_l)
-        if bk.split and bk.diag_ident and not bk.summed:
+        if (bk.split and bk.diag_ident and not bk.summed
+                and not _eig_rescue_ok(bk)):
             # A^*(lambda) is diagonal, so the slack's off part is the
             # STATIC C pattern: mv = one single-pass cmul + elementwise
             # diagonal (same trick as the ALM fast path)
@@ -1158,6 +1207,18 @@ def _dual_infeas_device(pd, dual, v0s):
 
             lams.append(lanczos_min_eig_device(mv, v0) * ws)
             continue
+        if bk.rowshard:
+            # slack row slabs [D, n_loc, n]; mv is the row-sharded
+            # dsymm — one logical cone, normalize by the global max
+            W = pat.build_w(bk, w_loc)
+            ws = jnp.maximum(jnp.max(jnp.abs(W)), 1e-30)
+            Wn = W / ws
+
+            def mv(x, bk=bk, Wn=Wn):
+                return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]
+
+            lams.append(lanczos_min_eig_device(mv, v0) * ws)
+            continue
         W = pat.build_w(bk, w_loc)
         # normalize the slack operator per block: |lambda| grows with
         # rho, and an un-normalized f32 Lanczos sweep can overflow
@@ -1165,27 +1226,13 @@ def _dual_infeas_device(pd, dual, v0s):
         if bk.dense:
             ws = jnp.maximum(jnp.max(jnp.abs(W), axis=(1, 2)), 1e-30)
             Wn = W / ws[:, None, None]
-            if bk.n <= _DENSE_EIG_DIM:
+            if _eig_rescue_ok(bk):
                 # small dense slack: exact min eigenvalue by full eigh
-                # (the 36-step Lanczos under-estimates |lam_min| by up
-                # to ~25x on clustered small-block spectra; exact here
-                # is one cheap [B, n, n] eigh).  TPU eigh runs f32 on
-                # the normalized operator; on an f64-escalated solve a
-                # raw f32 eigenVALUE carries ~1e-5..1e-4 absolute error
-                # (rescaled by ws) — at the high-acc dinf band — so the
-                # f32 eigenVECTOR is refined by a Rayleigh quotient at
-                # operator precision, which SQUARES the f32 angle error
-                # (~1e-4 -> ~1e-8 relative).  CPU keeps native f64.
-                # Measured: theta800 certifies at 48.5 s with this
-                # exact certificate (dinf_l1 3.0e-6).
-                if (jax.default_backend() == "cpu"
-                        or Wn.dtype == jnp.float32):
-                    lam = jnp.linalg.eigvalsh(Wn)[:, 0]
-                else:
-                    _, vecs = jnp.linalg.eigh(Wn.astype(jnp.float32))
-                    v = vecs[:, :, 0].astype(Wn.dtype)
-                    num = jnp.einsum("bn,bnm,bm->b", v, Wn, v)
-                    lam = num / jnp.einsum("bn,bn->b", v, v)
+                # (a bounded Lanczos under-estimates |lam_min| on
+                # clustered small-block spectra; exact here is one
+                # cheap [B, n, n] eigh).  Measured: theta800 certifies
+                # at 48.5 s with this exact certificate (dinf 3.0e-6).
+                lam = _exact_min_eig(Wn)
                 lams.append(lam.astype(W.dtype) * ws)
                 continue
         elif bk.split:
@@ -1204,6 +1251,15 @@ def _dual_infeas_device(pd, dual, v0s):
             if bk.summed:
                 ws = jnp.broadcast_to(jnp.max(ws), ws.shape)
             Wn = W / ws[:, None]
+
+        if not bk.dense and _eig_rescue_ok(bk):
+            # small SPARSE-mode slack: same exact eigh as the dense
+            # rescue, on the densified normalized operator (round-2
+            # extension; the bounded Lanczos can under-report
+            # clustered-spectrum sparse blocks the same way)
+            lam = _exact_min_eig(pat.densify_w(bk, Wn))
+            lams.append(lam.astype(dual.dtype) * ws)
+            continue
 
         def mv(x, bk=bk, Wn=Wn):
             return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]

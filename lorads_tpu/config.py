@@ -115,12 +115,15 @@ class LoradsParams:
     # re-measured after the shift).  Spares the expensive high-rho
     # ALM polish whose only purpose is driving dinf down.
     dual_repair: bool = True
-    # multi-device placement: "off" | "auto" | "dp" | "sp".
+    # multi-device placement: "off" | "auto" | "dp" | "sp" | "tp".
     # dp = block-axis data parallelism (bucket B axis over the mesh);
     # sp = union-pattern sharding for single large sparse cones
     # (summed BucketData, factors replicated, W.X partials psum'd);
-    # auto = dp where the block axis divides the mesh, else sp where
-    # eligible.  GSPMD partitions the solver's jitted programs.
+    # tp = row-slab sharding for single large DENSE cones (rowshard
+    # BucketData: every n x n intermediate lives as [D, n_loc, n]
+    # slabs — distributed dsyr2k/dsymm, per-chip memory n^2/D);
+    # auto = dp where the block axis divides the mesh, else sp/tp
+    # where eligible.  GSPMD partitions the solver's jitted programs.
     shard: str = "off"
     fix_init_point: bool = False     # deterministic all-ones init
                                      # (FIX_INI_POINT, lorads_solver.c:441)

@@ -226,6 +226,31 @@ class BucketData:
                                      metadata=dict(static=True))
 
     # ------------------------------------------------------------------
+    # rowshard: dense-mode row-slab (tensor-parallel-style) sharding of
+    # ONE logical cone (parallel/row_sharded.build_rowshard_bucket).
+    # The B axis is the shard axis; device d owns rows
+    # [d*n_loc, (d+1)*n_loc) of every n x n intermediate:
+    #   * c_full is the FULL-SYMMETRIC C row slab [D, n_loc, n]
+    #   * constraint entries are stored in full-symmetric form and
+    #     assigned to the shard owning their ROW; a_lin = loc_row*n+col
+    #     indexes the slab (a_val_inner = raw values: mirrors are
+    #     listed, so no 2x diagonal weighting)
+    #   * uvt/build_w produce [D, n_loc, n] slabs (row-sharded dsyr2k /
+    #     scatter; reference fds_syr2k lorads_dense_opts.c:529-539)
+    #   * w_mul is the row-sharded dsymm (lorads_sdp_data.c:646-671):
+    #     disjoint [D, n_loc, r] products reshaped back to [1, n, r] —
+    #     an all_gather under mesh placement
+    #   * constraint values are per-shard PARTIALS [D, m_loc] summed by
+    #     scatter_constr / cone_total, exactly like summed buckets.
+    # Factors stay replicated [1, n, r]; the n x n objects never
+    # materialize on one device (per-chip ceiling n^2/D).  Semantics
+    # are placement-independent: equals the unsharded dense bucket.
+    # ------------------------------------------------------------------
+    rowshard: bool = dataclasses.field(default=False,
+                                       metadata=dict(static=True))
+    n_loc: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    # ------------------------------------------------------------------
     # Diag/offdiag split (sparse mode only, split=True).
     #
     # The diagonal of sym(UV^T) is rowsum(U*V) — a dense VPU op — so
@@ -740,11 +765,26 @@ def _reduce(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
     return X
 
 
+def _slab(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
+    """Row slabs of a replicated [1, n, r] factor -> [D, n_loc, r].
+    Under mesh placement each device takes only its own slice."""
+    r = X.shape[-1]
+    n_pad = bk.B * bk.n_loc
+    return jnp.pad(X[0], ((0, n_pad - bk.n), (0, 0))).reshape(
+        bk.B, bk.n_loc, r)
+
+
+def _unslab(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
+    """Concatenate disjoint row slabs [D, n_loc, r] -> [1, n, r]
+    (an all_gather under mesh placement)."""
+    return X.reshape(1, bk.B * bk.n_loc, X.shape[-1])[:, : bk.n]
+
+
 def cone_total(bk: BucketData, vals: jnp.ndarray) -> jnp.ndarray:
     """Per-cone constraint values from per-shard partials: for summed
-    buckets the logical cone's A_j(UV^T) is the sum over shards
-    (broadcast back so every shard sees the total)."""
-    if bk.summed:
+    and rowshard buckets the logical cone's A_j(UV^T) is the sum over
+    shards (broadcast back so every shard sees the total)."""
+    if bk.summed or bk.rowshard:
         return jnp.broadcast_to(
             jnp.sum(vals, axis=0, keepdims=True), vals.shape)
     return vals
@@ -757,6 +797,17 @@ def uvt(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray):
     diagonal costs only a dense rowsum.
     Reference: LORADSUVt (lorads_alg_common.c:21-68).
     """
+    if bk.rowshard:
+        # row slab of sym(UV^T): 0.5 (U_loc V^T + V_loc U^T), the
+        # row-sharded dsyr2k — each shard computes [n_loc, n] on the
+        # MXU from its factor slab against the replicated other side
+        hi = jax.lax.Precision.HIGHEST
+        Us, Vs = _slab(bk, U), _slab(bk, V)
+        return 0.5 * (
+            jnp.einsum("dkr,nr->dkn", Us, V[0],
+                       preferred_element_type=U.dtype, precision=hi)
+            + jnp.einsum("dkr,nr->dkn", Vs, U[0],
+                         preferred_element_type=U.dtype, precision=hi))
     U, V = _expand(bk, U), _expand(bk, V)
     if bk.dense:
         # HIGHEST: keep full f32 accumulate on the MXU (TPU f32 matmul
@@ -811,6 +862,9 @@ def uvt_pair(bk: BucketData, R: jnp.ndarray, D: jnp.ndarray):
 
 def _at_entries(bk: BucketData, uvt_val: jnp.ndarray) -> jnp.ndarray:
     """Pattern values of sym(UV^T) at the constraint entries [B, nnz_a]."""
+    if bk.rowshard:
+        flat = uvt_val.reshape(uvt_val.shape[0], bk.n_loc * bk.n)
+        return jnp.take_along_axis(flat, bk.a_lin, axis=1)
     if bk.dense:
         flat = uvt_val.reshape(uvt_val.shape[0], bk.n * bk.n)
         return jnp.take_along_axis(flat, bk.a_lin, axis=1)
@@ -893,6 +947,31 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
     437-445, 633-641).  ``include_obj=False`` gives the pure adjoint
     A^*(w) used inside the ADMM CG operator (lorads_admm.c:383-385).
     """
+    if bk.rowshard:
+        # full-symmetric entries owned by this row slab: one sorted
+        # scatter into the [n_loc, n] slab (no mirror pass — mirrors
+        # are in the entry list, each on the shard owning its row).
+        # clip: pad entries carry con id m_loc (keeps ids sorted) and
+        # value 0, so the clamped gather contributes nothing
+        wa = jnp.take_along_axis(w_loc, bk.a_con_loc_s, axis=1,
+                                 mode="clip")
+        val = bk.a_val_s * wa
+        nn = bk.n_loc * bk.n
+        if (CUMSUM_F64 and val.dtype == jnp.float64
+                and bk.a_lin2_exact):
+            # slot-unique entries: the emulated f64 scatter runs as
+            # two EXACT f32 planes (Dekker split, error <= 2^-48)
+            hi = val.astype(jnp.float32)
+            lo = (val - hi).astype(jnp.float32)
+            W = (batched_segment_sum(hi, bk.a_pos_s, nn,
+                                     sorted_ids=True).astype(val.dtype)
+                 + batched_segment_sum(lo, bk.a_pos_s, nn,
+                                       sorted_ids=True).astype(val.dtype))
+        else:
+            W = batched_segment_sum(val, bk.a_pos_s, nn,
+                                    sorted_ids=True)
+        W = W.reshape(-1, bk.n_loc, bk.n)
+        return bk.c_full + W if include_obj else W
     if bk.dense:
         wa = jnp.take_along_axis(w_loc, bk.a_con_loc, axis=1)
         n2 = bk.n * bk.n
@@ -956,6 +1035,13 @@ def w_mul(bk: BucketData, W, X: jnp.ndarray) -> jnp.ndarray:
 
     Reference: mul_rk (lorads_sdp_data.c:491-504, 646-671).
     """
+    if bk.rowshard:
+        # row-sharded dsymm: disjoint grad row slabs, concatenated
+        # back to the replicated [1, n, r] (all_gather over the mesh)
+        out = jnp.einsum("dkn,nr->dkr", W, X[0],
+                         preferred_element_type=X.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        return _unslab(bk, out)
     X = _expand(bk, X)
     if bk.dense:
         return jnp.einsum("bnm,bmr->bnr", W, X,
@@ -989,6 +1075,33 @@ def w_mul(bk: BucketData, W, X: jnp.ndarray) -> jnp.ndarray:
         (W * bk.pat_offdiag)[:, :, None] * xr, bk.pat_cols, bk.n,
         sorted_ids=bk.pat_cols_sorted, bounds=bk.bnd_pat_cols)
     return _reduce(bk, lower + upper)
+
+
+def densify_w(bk: BucketData, W) -> jnp.ndarray:
+    """Materialize a sparse-mode ``build_w`` output as full symmetric
+    [B, n, n] matrices.
+
+    Certificate-time only (see solver._dual_infeas_device): small
+    sparse slack blocks get an exact eigh instead of the Lanczos sweep,
+    extending the round-1 dense-only rescue to sparse-mode cones.
+    Never used in the iteration hot path.
+    """
+    if bk.dense or bk.rowshard:
+        raise ValueError("densify_w is for sparse-mode buckets")
+    scat = jax.vmap(lambda o, r, c, w: o.at[r, c].add(w))
+    if bk.split:
+        W_d, W_o, _ = W
+        out = jax.vmap(jnp.diag)(W_d)
+        if bk.has_off:
+            # pad slots carry zero values, so their scatter adds nothing
+            out = scat(out, bk.off_rows, bk.off_cols, W_o)
+            out = scat(out, bk.off_cols, bk.off_rows, W_o)
+        return out
+    out = jnp.zeros((W.shape[0], bk.n, bk.n), W.dtype)
+    out = scat(out, bk.pat_rows, bk.pat_cols, W)
+    # mirror only the strict off-diagonal (pat_offdiag = 1 iff r != c)
+    out = scat(out, bk.pat_cols, bk.pat_rows, W * bk.pat_offdiag)
+    return out
 
 
 def auv_into_global(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray):

@@ -35,8 +35,107 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from lorads_tpu.core.presolve import BlockPlan
+from lorads_tpu.ops import pattern as pat
 
 AXIS = "rows"
+
+
+def _full_sym_entries(plan: BlockPlan):
+    """Constraint entries in FULL symmetric form (lower-tri + mirrors):
+    <A, X> = sum v * X[r, c] over the full list, and W[r, c] += w * v
+    scatters the exact symmetric W — one entry list serves both."""
+    er = plan.pat_rows[plan.a_pos]
+    ec = plan.pat_cols[plan.a_pos]
+    off = er != ec
+    rows = np.concatenate([er, ec[off]])
+    cols = np.concatenate([ec, er[off]])
+    vals = np.concatenate([plan.a_val, plan.a_val[off]])
+    cons = np.concatenate([plan.a_con_loc, plan.a_con_loc[off]])
+    return rows, cols, vals, cons
+
+
+def build_rowshard_bucket(plan: BlockPlan, m_glob: int, n_devices: int,
+                          dtype) -> pat.BucketData:
+    """Build the integrated row-slab (tp) bucket for one dense cone.
+
+    Returns a BucketData with ``rowshard=True`` whose leading axis is
+    the D mesh shards (see BucketData.rowshard for the data model).
+    The solver shards it with P("blk") and every kernel — ALM gradient
+    and line search, ADMM subproblem/CG, the Lanczos dual certificate —
+    runs unchanged on the slab layout; this is the full-solve
+    integration of the row-distributed dsyr2k/dsymm equivalents
+    (reference lorads_dense_opts.c:529-539, lorads_sdp_data.c:646-671).
+    """
+    n, D = plan.dim, n_devices
+    n_loc = -(-n // D)
+    if n_loc * n >= 2 ** 31:
+        raise ValueError(
+            f"row-slab linear indices overflow int32 (n_loc*n = "
+            f"{n_loc * n:.3g}); use more devices so n/D * n < 2^31")
+
+    rows, cols, vals, cons = _full_sym_entries(plan)
+    shard_of = rows // n_loc
+    counts = np.bincount(shard_of, minlength=D)
+    nnz_loc = max(int(counts.max()), 1)
+
+    a_lin = np.zeros((D, nnz_loc), np.int32)
+    # pad slot m_loc: keeps the per-shard con ids sorted (the
+    # a_con_sorted promise + f64 bounds); segment_sum drops
+    # out-of-range ids and gather_w clamps are zeroed by a_val = 0
+    a_con = np.full((D, nnz_loc), plan.m_loc, np.int32)
+    a_val = np.zeros((D, nnz_loc), np.float64)
+    lin2_exact = True
+    for d in range(D):
+        sel = shard_of == d
+        cnt = int(sel.sum())
+        lin_d = ((rows[sel] - d * n_loc).astype(np.int64) * n
+                 + cols[sel]).astype(np.int32)
+        con_d = cons[sel].astype(np.int32)
+        val_d = vals[sel]
+        # primary order: by constraint slot (constr_vals segment sum)
+        o = np.argsort(con_d, kind="stable")
+        a_lin[d, :cnt] = lin_d[o]
+        a_con[d, :cnt] = con_d[o]
+        a_val[d, :cnt] = val_d[o]
+        ids_nz = lin_d[val_d != 0.0]
+        lin2_exact &= bool(np.unique(ids_nz).size == ids_nz.size)
+
+    # secondary copy sorted by slab slot (build_w's sorted scatter)
+    lp = np.argsort(a_lin, axis=1, kind="stable")
+    ta = np.take_along_axis
+
+    # full-symmetric C row slabs
+    c_slab = np.zeros((D, n_loc, n))
+    coff = plan.pat_rows != plan.pat_cols
+    c_r = np.concatenate([plan.pat_rows, plan.pat_cols[coff]])
+    c_c = np.concatenate([plan.pat_cols, plan.pat_rows[coff]])
+    c_v = np.concatenate([plan.c_pat, plan.c_pat[coff]])
+    np.add.at(c_slab, (c_r // n_loc, c_r % n_loc, c_c), c_v)
+
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+    want_bounds = np.dtype(dtype) == np.float64
+    z1 = np.zeros((D, 1))
+    zi = np.zeros((D, 1), dtype=np.int32)
+    glob_idx = np.tile(plan.loc2glob, (D, 1)).astype(np.int32)
+    return pat.BucketData(
+        dense=True, rowshard=True, n=n, n_loc=n_loc, K=n_loc * n,
+        nnz_a=nnz_loc, m_loc=plan.m_loc, B=D, m_glob=m_glob,
+        a_con_loc=i32(a_con), a_val_inner=f(a_val),
+        glob_idx=i32(glob_idx),
+        pat_rows=i32(zi), pat_cols=i32(zi), c_pat=f(z1),
+        c_pat_inner=f(z1), pat_offdiag=f(z1), a_pos=i32(zi),
+        a_lin=i32(a_lin), a_lin_t=i32(zi), a_val=f(a_val),
+        a_val_mirror=f(z1), c_full=f(c_slab),
+        a_pos_s=i32(ta(a_lin, lp, 1)),
+        a_con_loc_s=i32(ta(a_con, lp, 1)),
+        a_val_s=f(ta(a_val, lp, 1)),
+        row_perm=i32(zi), pat_rows_s=i32(zi), pat_cols_rp=i32(zi),
+        a_con_sorted=True, a_pos_sorted=True,
+        a_lin2_exact=lin2_exact,
+        bnd_a_con=(pat._bounds_np(a_con, plan.m_loc)
+                   if want_bounds else None),
+    )
 
 
 @jax.tree_util.register_dataclass

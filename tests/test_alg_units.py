@@ -193,6 +193,66 @@ def test_lanczos_min_eig_batched():
     np.testing.assert_allclose(lams, expect, rtol=1e-2, atol=1e-3)
 
 
+def test_lanczos_adaptive_clustered_spectrum():
+    """VERDICT r1 #4 regression: a tiny negative lambda_min buried in
+    a near-zero cluster on an O(1)-norm operator (the theta slack
+    profile, n > 1024).  The round-1 fixed 2x36-step sweep is >2x
+    optimistic here; the adaptive restart-until-Ritz-residual variant
+    (ARPACK dsaupd tol semantics, lorads_sdp_conic.c:1286-1349) must
+    land within 10% — without the dense-eigh rescue (n > 1024)."""
+    from lorads_tpu.alg.lanczos import _min_ritz, lanczos_min_eig_device
+
+    n = 1500
+    rng = np.random.default_rng(0)
+    evals = np.sort(np.concatenate([
+        [-1e-5], rng.uniform(-8e-6, 1e-4, 800),
+        rng.uniform(0.1, 1.0, n - 801)]))
+    d = jnp.asarray(evals)
+    mv = lambda x: d[None, :] * x
+    v0 = jnp.asarray(np.random.default_rng(1).standard_normal((1, n)))
+
+    # the old behavior: exactly two fixed 36-step restarts
+    v = v0
+    for _ in range(2):
+        lam_old, v, _ = _min_ritz(mv, v, 36)
+    lam_new = float(lanczos_min_eig_device(mv, v0)[0])
+    true = float(evals[0])
+    assert float(lam_old[0]) > true / 2           # old: >2x optimistic
+    assert abs(lam_new - true) <= 0.1 * abs(true)  # new: within 10%
+
+
+def test_densify_w_matches_dense_oracle():
+    """densify_w materializes sparse-mode build_w output exactly (the
+    small-sparse-slack eigh rescue depends on it)."""
+    from lorads_tpu.alg import aop
+    from lorads_tpu.alg.solver import LoradsSolver
+    from lorads_tpu.io import generators
+    from lorads_tpu.ops import pattern as pat
+    from lorads_tpu import LoradsParams
+
+    problem = generators.maxcut(n=300, avg_degree=6, seed=3)
+    s = LoradsSolver(problem, LoradsParams(verbose=False, dtype="f64"))
+    bk = s.pd.buckets[0]
+    assert not bk.dense
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal(problem.m))
+    W = pat.build_w(bk, pat.gather_w(bk, w))
+    Wd = np.asarray(pat.densify_w(bk, W))[0]
+    # oracle: C + sum_i w_i A_i densely
+    blk = problem.blocks[0]
+    full = np.zeros((blk.dim, blk.dim))
+    for r, c, v in zip(blk.obj_row, blk.obj_col, blk.obj_val):
+        full[r, c] += v
+        if r != c:
+            full[c, r] += v
+    for i, r, c, v in zip(blk.a_con, blk.a_row, blk.a_col, blk.a_val):
+        full[r, c] += w[i] * v
+        if r != c:
+            full[c, r] += w[i] * v
+    np.testing.assert_allclose(Wd, full, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(Wd, Wd.T, atol=0)
+
+
 def test_lbfgs_compact_matches_twoloop():
     """Compact-representation direction == two-loop recursion."""
     import jax.numpy as jnp

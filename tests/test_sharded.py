@@ -308,3 +308,134 @@ def test_row_sharded_gradient_matches(eight_devices):
     gref = np.asarray(grad.cones[0][0])
     cert_ref = np.linalg.norm(gref) / (1.0 + solver.pd.c_nrm_inf)
     assert float(cert_s) == pytest.approx(cert_ref, rel=1e-9)
+
+
+def _rowshard_pair(n=30, m=None, seed=5, D=4, dtype=jnp.float64):
+    """(plain dense ProblemData, rowshard ProblemData, solver)."""
+    import dataclasses
+
+    from lorads_tpu.parallel.row_sharded import build_rowshard_bucket
+
+    problem = generators.lovasz_theta(n=n, avg_degree=8, seed=seed)
+    solver = LoradsSolver(problem, LoradsParams(verbose=False,
+                                                dtype="f64"))
+    plan = solver.ps.plans[0]
+    assert plan.dense
+    pd0 = solver.pd
+    bkr = build_rowshard_bucket(plan, problem.m, D, dtype)
+    pd1 = dataclasses.replace(pd0, buckets=(bkr,))
+    return pd0, pd1, solver
+
+
+def test_rowshard_bucket_semantics_match_unsharded():
+    """Integrated row-slab (tp) sharding is placement-independent: a
+    rowshard D-slab BucketData computes exactly what the unsharded
+    dense bucket computes — uvt / constr_vals / obj / build_w / w_mul
+    and a whole ADMM sweep (subproblem builder + CG)."""
+    from lorads_tpu.alg import admm as admm_mod
+
+    pd0, pd1, solver = _rowshard_pair()
+    bk0, bkr = pd0.buckets[0], pd1.buckets[0]
+    n = bk0.n
+    rng = np.random.default_rng(0)
+    r = 5
+    U = jnp.asarray(rng.standard_normal((1, n, r)))
+    V = jnp.asarray(rng.standard_normal((1, n, r)))
+
+    uv0 = pat.uvt(bk0, U, V)
+    uvr = pat.uvt(bkr, U, V)
+    full = uvr.reshape(-1, n)[:n]
+    np.testing.assert_allclose(np.asarray(full), np.asarray(uv0[0]),
+                               rtol=1e-12, atol=1e-12)
+    cv0 = pat.constr_vals(bk0, uv0)
+    cvr = pat.constr_vals(bkr, uvr)
+    np.testing.assert_allclose(np.asarray(jnp.sum(cvr, 0)),
+                               np.asarray(cv0[0]), rtol=1e-12,
+                               atol=1e-12)
+    np.testing.assert_allclose(
+        float(jnp.sum(pat.obj_inner(bkr, uvr))),
+        float(jnp.sum(pat.obj_inner(bk0, uv0))), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(pat.scatter_constr(bkr, cvr)),
+        np.asarray(pat.scatter_constr(bk0, cv0)), rtol=1e-12,
+        atol=1e-12)
+
+    w = jnp.asarray(rng.standard_normal(pd0.m))
+    W0 = pat.build_w(bk0, pat.gather_w(bk0, w))
+    Wr = pat.build_w(bkr, pat.gather_w(bkr, w))
+    np.testing.assert_allclose(np.asarray(Wr.reshape(-1, n)[:n]),
+                               np.asarray(W0[0]), rtol=1e-12,
+                               atol=1e-12)
+    X = jnp.asarray(rng.standard_normal((1, n, r)))
+    np.testing.assert_allclose(np.asarray(pat.w_mul(bkr, Wr, X)),
+                               np.asarray(pat.w_mul(bk0, W0, X)),
+                               rtol=1e-11, atol=1e-12)
+
+    # whole ADMM sweep: subproblem builder + CG on the slab layout
+    from lorads_tpu.alg.state import FactorVec
+
+    dual = jnp.asarray(rng.standard_normal(pd0.m))
+    rho = jnp.asarray(1.3)
+    fU = FactorVec((U,), jnp.zeros((0,)))
+    fV = FactorVec((V,), jnp.zeros((0,)))
+    outs = []
+    for pd in (pd0, pd1):
+        loc, total = aop.auv(pd, fU, fV)
+        U1, V1, _, _, csum, _, _, _ = admm_mod.admm_update_all(
+            pd, fU, fV, loc, jnp.zeros_like(total), total, dual, rho,
+            jnp.asarray(1e-12), 200)
+        outs.append((np.asarray(U1.cones[0]), np.asarray(V1.cones[0]),
+                     np.asarray(csum)))
+    np.testing.assert_allclose(outs[1][0], outs[0][0], rtol=1e-8,
+                               atol=1e-9)
+    np.testing.assert_allclose(outs[1][1], outs[0][1], rtol=1e-8,
+                               atol=1e-9)
+    np.testing.assert_allclose(outs[1][2], outs[0][2], rtol=1e-8,
+                               atol=1e-9)
+
+
+def test_tp_sharded_full_solve(eight_devices):
+    """Full two-phase solve with a dense cone's row slabs sharded over
+    the virtual mesh (params.shard='tp'): ALM, line search, ADMM/CG,
+    certificate, reopt all on the slab layout."""
+    problem = generators.random_multiblock(n_blocks=1, dim=32, m=24,
+                                           density=0.3, seed=7)
+    ref = LoradsSolver(problem, LoradsParams(verbose=False)).solve()
+    s = LoradsSolver(problem, LoradsParams(verbose=False, shard="tp"))
+    bk = s.pd.buckets[0]
+    assert s.mesh is not None and bk.rowshard
+    # the n x n intermediates live as [D, n_loc, n] slabs: per-chip
+    # memory ceiling n^2/D (this is tp's reason to exist)
+    assert bk.c_full.shape == (8, bk.n_loc, bk.n)
+    assert bk.n_loc == -(-bk.n // 8)
+    res = s.solve()
+    assert res.pinf_l1 <= 1e-5
+    assert res.gap <= 5e-5
+    assert res.pobj == pytest.approx(ref.pobj, rel=1e-3)
+
+
+def test_tp_aug_rank_and_f64_escalation(eight_devices):
+    # dim=32/m=60: rank 7 < rank_max 11, so aug_rank has headroom.
+    # Loose tol + no reopt keep the post-escalation re-solve short —
+    # the test exercises the escalated sharded path, not precision
+    # (full-precision tp parity is test_tp_sharded_full_solve).
+    # The instance is chosen to converge under these settings even
+    # UNSHARDED; tp is exactly placement-independent, so a divergence
+    # here would be an instance problem, not a sharding one (verified:
+    # shard=off and shard=tp produce bit-identical trajectories).
+    problem = generators.random_multiblock(n_blocks=1, dim=32, m=60,
+                                           density=0.3, seed=7)
+    s = LoradsSolver(problem, LoradsParams(
+        verbose=False, shard="tp", dtype="f32", phase2_tol=1e-4,
+        reopt_level=0))
+    assert s.pd.buckets[0].rowshard
+    r0 = s.ranks[0]
+    s.aug_rank(1.5)
+    assert s.ranks[0] > r0
+    assert s.R.cones[0].shape[0] == 1
+    s._auto_dtype = True
+    assert s.maybe_escalate_f64("test")
+    assert s.pd.buckets[0].rowshard
+    assert s.pd.rhs.dtype == jnp.float64
+    res = s.solve()
+    assert res.pinf_l1 <= 1e-4

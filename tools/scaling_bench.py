@@ -1,0 +1,152 @@
+"""Scaling-efficiency bench: iterations/s vs device count for each
+sharding mode (VERDICT r1 "Next round" #2; BASELINE.md target: >= 80%
+iterations/s scaling efficiency 1 -> 2+ hosts).
+
+Runs a fixed-iteration jitted ALM inner loop (the solver's hot path:
+L-BFGS direction, cached pair evaluation, exact line search, gradient,
+history push — the same pieces profile_alm_bisect times) on meshes of
+1/2/4/8 devices and reports iterations/s + efficiency per mode:
+
+  dp  — cone-block axis over the mesh (many same-shape blocks)
+  sp  — union-pattern sharding of one large sparse cone
+  tp  — row-slab sharding of one large dense cone
+
+Locally this runs on the VIRTUAL CPU mesh
+(--xla_force_host_platform_device_count): it validates that the
+collective structure scales (no serialization, no replicated-compute
+blowup) and measures honest efficiency against however many physical
+cores back the virtual devices.  On real multi-chip hardware the same
+script measures real ICI scaling; virtual-mesh numbers on a 4-core
+host UNDERSTATE efficiency for D > cores (devices time-share cores).
+
+Run:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+  PALLAS_AXON_POOL_IPS= python tools/scaling_bench.py
+Env: SCALE_MODES=dp,sp,tp  SCALE_DEVS=1,2,4,8  SCALE_ITERS=24
+"""
+
+import json
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lorads_tpu import LoradsParams
+from lorads_tpu.alg import aop
+from lorads_tpu.alg.linesearch import alm_line_search
+from lorads_tpu.alg.solver import LoradsSolver
+from lorads_tpu.alg.state import fv_norm2sq, history_push, lbfgs_direction
+from lorads_tpu.io import generators
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def alm_loop(pd, R, grad, hist, dual, constr_sum, rho, n_iter):
+    """n_iter full ALM inner iterations (timing body; always-update)."""
+
+    def body(i, c):
+        R_, g_, h_, ca_, cs_, acc = c
+        D = lbfgs_direction(h_, g_)
+        p1, t1, p2, t2, dc = aop.obj_and_auv_pair_cached(pd, R_, D, ca_)
+        q0 = pd.rhs - cs_
+        tau, _ = alm_line_search(rho, dual, 2 * p1, p2, q0, 2 * t1, t2)
+        tau = jnp.clip(tau, -1e-3, 1e-3)
+        R_ = R_.axpy(tau, D)
+        cs_ = cs_ + tau * t1 + tau * tau * t2
+        ca_ = aop.axpy_caches(ca_, tau, dc)
+        w = rho * (cs_ - pd.rhs) - dual
+        gn = aop.grad_cached(pd, R_, w, ca_)
+        h_ = history_push(h_, D.scale(tau), gn + g_.scale(-1.0))
+        acc = acc + jnp.sqrt(fv_norm2sq(gn))
+        return (R_, gn, h_, ca_, cs_, acc)
+
+    caches = aop.gather_caches(pd, R)
+    acc = jnp.zeros((), pd.rhs.dtype)
+    out = jax.lax.fori_loop(
+        0, n_iter, body, (R, grad, hist, caches, constr_sum, acc))
+    return out[5] + fv_norm2sq(out[0])
+
+
+def make_problem(mode: str):
+    if mode == "dp":
+        # many same-shape blocks: the block axis shards
+        return generators.random_multiblock(n_blocks=32, dim=48, m=64,
+                                            density=0.15, seed=5)
+    if mode == "sp":
+        # one large sparse cone: the union pattern shards
+        return generators.maxcut(n=20000, avg_degree=8, seed=7)
+    # tp: one large dense cone: n x n intermediates shard by row slab
+    return generators.lovasz_theta(n=500, avg_degree=12, seed=9)
+
+
+def time_mode(mode: str, dev_counts, n_iter: int):
+    problem = make_problem(mode)
+    rows = []
+    for nd in dev_counts:
+        params = LoradsParams(verbose=False, dtype="f32",
+                              shard="off" if nd == 1 else mode,
+                              n_devices=nd)
+        solver = LoradsSolver(problem, params)
+        if nd > 1 and solver.mesh is None:
+            raise RuntimeError(f"{mode} did not activate at {nd} devices")
+        pd, R, dual, hist = solver.pd, solver.R, solver.dual, solver.hist
+        rho = jnp.asarray(solver.ps.rho0, pd.rhs.dtype)
+        _, constr_sum = jax.jit(aop.auv)(pd, R, R)
+        w = rho * (constr_sum - pd.rhs) - dual
+        grad = jax.jit(aop.grad)(pd, R, w)
+
+        def run(eps, n):
+            return alm_loop(pd, R.scale(1.0 + eps), grad, hist, dual,
+                            constr_sum, rho, n)
+
+        # warm both iteration counts, then difference them so compile
+        # + fixed dispatch overhead cancels (ROUND1_NOTES: time via
+        # host transfer, block_until_ready is unreliable on axon)
+        float(run(0.0, n_iter))
+        float(run(0.0, 3 * n_iter))
+        ts = []
+        for n in (n_iter, 3 * n_iter):
+            t0 = time.time()
+            for i in range(3):
+                float(run(1e-7 * (i + 1), n))
+            ts.append((time.time() - t0) / 3)
+        per_iter = (ts[1] - ts[0]) / (2 * n_iter)
+        rows.append({"devices": nd, "ms_per_iter": per_iter * 1e3,
+                     "iters_per_s": 1.0 / per_iter})
+    base = rows[0]["iters_per_s"]
+    for r in rows:
+        r["speedup"] = r["iters_per_s"] / base
+        # strong-scaling efficiency: speedup / ideal(=D)
+        r["efficiency"] = r["speedup"] / r["devices"]
+    return rows
+
+
+def main():
+    modes = os.environ.get("SCALE_MODES", "dp,sp,tp").split(",")
+    devs = [int(x) for x in
+            os.environ.get("SCALE_DEVS", "1,2,4,8").split(",")]
+    n_iter = int(os.environ.get("SCALE_ITERS", "24"))
+    devs = [d for d in devs if d <= len(jax.devices())]
+    cores = os.cpu_count()
+    print(f"# backend={jax.default_backend()} devices={len(jax.devices())}"
+          f" physical_cores={cores}", flush=True)
+    out = {}
+    for mode in modes:
+        rows = time_mode(mode, devs, n_iter)
+        out[mode] = rows
+        for r in rows:
+            print(json.dumps({"mode": mode, **{k: (round(v, 4)
+                  if isinstance(v, float) else v)
+                  for k, v in r.items()}}), flush=True)
+    # strong-scaling efficiency note: on a virtual mesh with fewer
+    # physical cores than devices, eff at D > cores is a lower bound
+    for mode, rows in out.items():
+        per_dev = {r["devices"]: r["efficiency"] for r in rows}
+        print(f"# {mode}: efficiency "
+              + " ".join(f"{d}dev={e:.2f}" for d, e in per_dev.items()),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
