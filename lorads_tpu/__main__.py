@@ -50,11 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reoptLevel", type=int, default=2)
     p.add_argument("--dyrankLevel", type=int, default=2)
     p.add_argument("--highAccMode", type=int, default=0)
-    p.add_argument("--shard", choices=["off", "auto", "dp", "sp"],
+    p.add_argument("--shard", choices=["off", "auto", "dp", "sp", "tp"],
                    default="off",
                    help="multi-device placement: dp = block-axis data "
                         "parallelism, sp = union-pattern sharding for "
-                        "single large cones, auto = pick per bucket")
+                        "single large sparse cones, tp = row-slab "
+                        "sharding for single large dense cones "
+                        "(n x n intermediates as [D, n/D, n] slabs), "
+                        "auto = pick per bucket")
     p.add_argument("--dualUV", type=int, default=0,
                    help="DUAL_U_V build variant: +/-S terms in the "
                         "ADMM subproblems")
@@ -69,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="restore state from a checkpoint before solving")
     p.add_argument("--traceDir", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace")
+    p.add_argument("--admmGapContinue", type=int, default=1,
+                   help="after pinf converges, keep the initial ADMM "
+                        "running with gap-inclusive convergence while "
+                        "the gap improves, instead of conceding "
+                        "gap > tol to a full reopt round (the "
+                        "reference exits on pinf alone)")
     p.add_argument("--dualRepair", type=int, default=1,
                    help="exact dual shift along per-block identity "
                         "directions (theta trace, Max-Cut diag "
@@ -152,6 +161,7 @@ def main(argv=None) -> int:
         l2_rescaling=bool(args.l2Rescaling), reopt_level=args.reoptLevel,
         dyrank_level=args.dyrankLevel, high_acc_mode=bool(args.highAccMode),
         dual_uv=bool(args.dualUV), dual_repair=bool(args.dualRepair),
+        admm_gap_continue=bool(args.admmGapContinue),
         shard=args.shard,
         dtype=args.dtype, seed=args.seed, verbose=not args.quiet,
         checkpoint_path=args.checkpoint, trace_dir=args.traceDir)

@@ -290,7 +290,8 @@ def _obj_dimacs_xbar(pd: ProblemData, U: FactorVec, V: FactorVec, dual,
     return pobj, dobj, pinf, gap, locals_, lp_contrib, total
 
 
-def make_admm_chunk(params, reopt: bool, bucket_jacobi=()):
+def make_admm_chunk(params, reopt: bool, bucket_jacobi=(),
+                    gap_stop: bool = False):
     """Jitted device loop for <=chunk ADMM iterations, memoized on the
     params fields it bakes in.
 
@@ -298,6 +299,13 @@ def make_admm_chunk(params, reopt: bool, bucket_jacobi=()):
     whose blocks touch disjoint constraint sets — those sweep Jacobi
     (== Gauss-Seidel there, but vectorized over the block axis instead
     of a lax.scan serialization).
+
+    gap_stop: the GAP-CONTINUATION variant (see solver.admm_phase):
+    convergence additionally requires gap <= phase2Tol (the reference
+    exits on pinf alone, lorads_admm.c:110-118, conceding the gap to
+    an expensive reopt round), and the stall detector exits on
+    no-gap-progress so a hopeless continuation hands off to reopt
+    promptly.
 
     Memoization matters: a fresh ``jax.jit`` per LoradsSolver would
     re-trace the whole phase graph (and re-deserialize it from the
@@ -313,12 +321,13 @@ def make_admm_chunk(params, reopt: bool, bucket_jacobi=()):
         params.rho_freq, params.rho_factor, params.phase2_tol,
         params.phase1_tol, params.rho_celling_admm,
         jacobi,
-        getattr(params, "dual_uv", False), bool(reopt))
+        getattr(params, "dual_uv", False), bool(reopt),
+        bool(gap_stop))
 
 
 @functools.lru_cache(maxsize=None)
 def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
-                     jacobi, dual_uv, reopt):
+                     jacobi, dual_uv, reopt, gap_stop=False):
     cg_tol_mult = 1e-4 if reopt else 1e-2
     bad_pd_limit = 200 if reopt else 800
     escape_pow = float(rho_factor ** round(
@@ -327,18 +336,32 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
     def chunk(pd: ProblemData, U, V, locals_, lp_contrib, constr_sum,
               dual, rho, cur_rho_max, pinf_buf, old_pinf_mean, bad_pd,
               it, pinf_l1_0, gap_0, pobj0, dobj0, scale, iter_celling,
-              n_steps, best_gap0, since_best0, S=None):
+              n_steps, best_gap0, since_best0, best_pinf0=None,
+              since_pinf0=None, S=None):
         S_used = S if dual_uv else None
 
-        def pinf_l1_conv(pinf_l1, pinf_inf):
-            if reopt:
-                return pinf_l1 <= tol2
-            return pinf_inf <= tol2
+        def pinf_l1_conv(pinf_l1, pinf_inf, gap):
+            conv = pinf_l1 <= tol2 if reopt else pinf_inf <= tol2
+            if gap_stop:
+                conv = conv & (gap <= tol2)
+            return conv
+
+        # Per-dispatch CG budget: a chunk of n_steps iterations whose
+        # CG solves all hit the 800-iteration cap runs MINUTES on
+        # device (matcomp2000: 200 x 2 x 800 matvecs measured >160 s;
+        # long dispatches can kill a remote TPU worker).  When the
+        # cumulative CG count crosses the budget the chunk simply
+        # returns RUNNING and the host re-dispatches — bounded device
+        # time, zero effect on chunks whose CG behaves (typical
+        # 3-30 iters/solve never comes close).  f64 matvecs are ~12x
+        # f32 (software emulation), so its budget is tighter.
+        cg_budget = 24000 if pd.rhs.dtype == jnp.float32 else 4000
 
         def cond(c):
             st = c["status"]
-            return (st == RUNNING) & (c["k"] < n_steps) & (
-                c["it"] < iter_celling)
+            return ((st == RUNNING) & (c["k"] < n_steps)
+                    & (c["it"] < iter_celling)
+                    & (c["cg_iter"] < cg_budget))
 
         def body(c):
             cg_tol = jnp.minimum(c["pinf_l1"] * cg_tol_mult, 1e-8)
@@ -367,7 +390,7 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
 
             buf = c["pinf_buf"].at[c["count"] % 10].set(pinf_inf)
 
-            conv_now = pinf_l1_conv(pinf, pinf_inf)
+            conv_now = pinf_l1_conv(pinf, pinf_inf, gap)
             status = jnp.where((status == RUNNING) & conv_now,
                                i32(CONVERGED), status)
 
@@ -408,11 +431,32 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
             best_gap_n = jnp.minimum(gap, c["best_gap"])
             since_n = jnp.where(improved, 0,
                                 c["since_best"] + 1).astype(jnp.int32)
-            stalled = (since_n >= 50) & (pinf <= tol2 * 0.1)
+            # pinf noise-floor detector (f32 only): the exit criterion
+            # pinf_inf <= tol can demand a pinf_l1 BELOW the f32 ADMM's
+            # achievable floor (matcomp2000: needs 2.4e-10, floor
+            # ~1.2e-9, measured) — then pinf stops improving while rho
+            # climbs and the gap degrades.  30 iterations without a
+            # 10% pinf improvement while unconverged -> STALLED, so
+            # dtype=auto escalates ~40 iterations sooner than the
+            # gap-based detector alone.  f64 never hits this regime.
+            p_impr = pinf < c["best_pinf"] * 0.9
+            best_pinf_n = jnp.minimum(pinf, c["best_pinf"])
+            since_p_n = jnp.where(p_impr, 0,
+                                  c["since_pinf"] + 1).astype(jnp.int32)
+            if gap_stop:
+                # gap continuation: pinf has already converged once;
+                # exit on no-gap-progress alone so a hopeless push
+                # hands off (to f64 continuation or reopt) promptly
+                stalled = since_n >= 75
+            else:
+                stalled = (since_n >= 50) & (pinf <= tol2 * 0.1)
+                if pd.rhs.dtype == jnp.float32:
+                    stalled = stalled | (since_p_n >= 30)
             status = jnp.where((status == RUNNING) & stalled,
                                i32(STALLED), status)
 
             return dict(best_gap=best_gap_n, since_best=since_n,
+                        best_pinf=best_pinf_n, since_pinf=since_p_n,
                         U=U_, V=V_, locals=tuple(locals__),
                         u_caches=ucs, v_caches=vcs,
                         lp_contrib=lpc, constr_sum=csum, dual=dual_n,
@@ -446,6 +490,9 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
             pinf_inf=pinf_l1_0 * (1.0 + pd.b_nrm1) / (1.0 + pd.b_nrm_inf),
             gap=gap_0, pobj=pobj0, dobj=dobj0,
             best_gap=best_gap0, since_best=since_best0,
+            best_pinf=(pinf_l1_0 if best_pinf0 is None else best_pinf0),
+            since_pinf=(jnp.zeros((), jnp.int32) if since_pinf0 is None
+                        else since_pinf0),
             status=jnp.zeros((), jnp.int32),
             cg_iter=jnp.zeros((), jnp.int32),
             count=jnp.zeros((), jnp.int32))

@@ -39,11 +39,11 @@ def cg_solve(op: Callable[[jnp.ndarray], jnp.ndarray], x0: jnp.ndarray,
     done0 = res0 / safe_b1 < tol
 
     def cond(c):
-        x, r, p, res, done, k = c
+        done, k = c[4], c[5]
         return (~jnp.all(done)) & (k < max_iter)
 
     def body(c):
-        x, r, p, res, done, k = c
+        x, r, p, res, done, k = c[:6]
         Q = op(p)
         qtr = _bdot(r, r)
         ptq = _bdot(p, Q)
@@ -64,11 +64,28 @@ def cg_solve(op: Callable[[jnp.ndarray], jnp.ndarray], x0: jnp.ndarray,
         res_new = jnp.sqrt(qtr_new)
         nan_mask = jnp.isnan(res_new)
         done_new = done | (res_new / safe_b1 < tol) | nan_mask
+        # No-progress stop (extension; the reference CG has only the
+        # tol/maxiter exits).  A tol below the arithmetic noise floor
+        # (f32 with a tiny pinf-scaled tol) otherwise burns the full
+        # 800-iteration cap per solve at NO iterate improvement —
+        # measured 71k CG iters per 87 ADMM iters on matcomp2000,
+        # long enough on-device to kill a remote worker.  A block
+        # whose residual hasn't improved 1% in 40 iterations (two
+        # true-residual restarts) has hit ITS floor; stop it there —
+        # this keeps whatever depth IS reachable, unlike a fixed
+        # tol floor.
+        best, since = c[6], c[7]
+        improved = res_new < 0.99 * best
+        best = jnp.minimum(best, res_new)
+        since = jnp.where(improved | done_new, 0, since + 1)
+        done_new = done_new | (since >= 40)
         beta = jnp.where(qtr != 0, qtr_new / jnp.where(qtr == 0, 1.0, qtr),
                          0.0) * active
         p = r + beta[:, None, None] * p
-        return (x, r, p, res_new, done_new, k + 1)
+        return (x, r, p, res_new, done_new, k + 1, best, since)
 
-    carry = (x0, r0, r0, res0, done0, jnp.zeros((), jnp.int32))
-    x, r, p, res, done, k = jax.lax.while_loop(cond, body, carry)
+    carry = (x0, r0, r0, res0, done0, jnp.zeros((), jnp.int32),
+             res0, jnp.zeros_like(res0, dtype=jnp.int32))
+    out = jax.lax.while_loop(cond, body, carry)
+    x, k = out[0], out[5]
     return x, k

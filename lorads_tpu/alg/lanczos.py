@@ -139,12 +139,19 @@ def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
     the 2-restart Ritz value up to ~25x optimistic.
 
     The caller pre-normalizes the operator to max|W| = 1, so Ritz
-    values are O(1) or below.  For |lam| -> 0 (a PSD-or-nearly slack)
-    the pure relative rule never fires, so an absolute floor keeps the
-    cost bounded below maxit: residuals under ``floor`` (1e-6 at f64 —
-    an eigenvalue error invisible to any dinf band after the 1/(1+
-    ||C||_1) normalization; 3e-5 at f32, just above the f32 sweep's
-    rounding-noise floor) count as converged.
+    values are O(1) or below.  Two supplements keep the cost bounded
+    where the pure relative rule cannot fire:
+
+    * |lam| -> 0 (PSD-or-nearly slack): residuals under ``floor``
+      (1e-6 at f64 — an eigenvalue error invisible to any dinf band
+      after the 1/(1+||C||_1) normalization; 3e-5 at f32, just above
+      the f32 sweep's rounding noise) count as converged.
+    * POSITIVITY bound: a Ritz pair certifies lam_min >= lam - resid,
+      and dinf only counts min(lam_min, 0) — once lam - resid >=
+      -tol*floor the block's contribution is provably negligible and
+      further refinement of a POSITIVE eigenvalue is wasted matvecs.
+      Without this, every certified-optimal solve (slack PSD, the
+      common case) would burn the full maxit budget.
     """
     B, n = v0.shape
     k = min(k, n)
@@ -155,8 +162,8 @@ def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
     def cond(c):
         it, lam, v, resid = c
         band = tol * jnp.maximum(jnp.abs(lam), jnp.asarray(floor, dt))
-        return jnp.logical_and(it < max_restarts,
-                               jnp.any(resid > band))
+        done = (resid <= band) | (lam - resid >= -tol * floor)
+        return jnp.logical_and(it < max_restarts, ~jnp.all(done))
 
     def body(c):
         it, _, v, _ = c

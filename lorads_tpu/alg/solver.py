@@ -114,6 +114,7 @@ class LoradsSolver:
         self.alm_max_outers = 16 if small else 8
         self._rng = np.random.default_rng(self.params.seed)
         self._ident_dirs = None  # lazy (see _identity_directions)
+        self._gap_push_stalled = False  # set by the gap continuation
         self._init_vars()
         self.mesh = None
         self._maybe_shard()
@@ -131,6 +132,8 @@ class LoradsSolver:
             self.params, False, self._bucket_jacobi)
         self._admm_chunk_reopt = admm_mod.make_admm_chunk(
             self.params, True, self._bucket_jacobi)
+        self._admm_chunk_gapstop = admm_mod.make_admm_chunk(
+            self.params, False, self._bucket_jacobi, gap_stop=True)
 
     # ------------------------------------------------------------------
     # Multi-device placement (no reference counterpart; SURVEY.md §2
@@ -385,6 +388,20 @@ class LoradsSolver:
         p = self.params
         if stats.gap <= p.phase2_tol and stats.pinf_l1 <= p.phase2_tol:
             return "ok"
+        # Preemptive escalation: the ADMM exit (pinf_inf <= tol,
+        # lorads_admm.c:110) demands pinf_l1 <= tol (1+binf)/(1+b1).
+        # When that target sits below what f32 arithmetic can reach
+        # (measured floor ~1.2e-9 on matcomp2000), every f32 iteration
+        # is wasted — enter the phase at f64 directly.  5e-10 is
+        # chosen safely below maxcut n=20000's 1e-9 (which f32 handles
+        # via its ALM exit) and above matcomp2000's 2.4e-10 (measured:
+        # 41 s of f32 ADMM burned before the stall detector fired).
+        if self._auto_dtype and self.dtype == jnp.float32 and not reopt:
+            need = p.phase2_tol * (1.0 + float(self.pd.b_nrm_inf)) / (
+                1.0 + float(self.pd.b_nrm1))
+            if need < 5e-10:
+                self.maybe_escalate_f64(
+                    f"ADMM pinf target {need:.1e} below the f32 floor")
         stats.rho = min(stats.rho, self.rho_max)
         entry = (self.U, self.V, self.dual, stats.rho)
         for attempt in range(3):
@@ -440,6 +457,19 @@ class LoradsSolver:
             self.log("enter admm reopt")
 
         dt = self.dtype
+        celling = iter_celling
+        in_continuation = False
+        # Adaptive dispatch sizing: a chunk whose CG solves run long
+        # (tight cg_tol near the f32 noise floor, or f64's ~12x
+        # per-matvec cost) can produce minute-long device programs,
+        # and the remote TPU worker kills dispatches around ~60 s
+        # (measured on matcomp2000: one 50-iteration dispatch dies
+        # where five 10-iteration ones run fine).  Size each dispatch
+        # from the MEASURED per-iteration wall of the previous one,
+        # targeting ~20 s; the first (compile-laden) dispatch starts
+        # conservatively sized.
+        n_dev = min(self.device_chunk_iters, 10)
+        disp_target = 20.0
         carry = dict(
             U=self.U, V=self.V, locals_=locals_, lp_contrib=lp_contrib,
             constr_sum=total, dual=self.dual,
@@ -454,10 +484,14 @@ class LoradsSolver:
             pobj0=jnp.asarray(stats.pobj, dt),
             dobj0=jnp.asarray(stats.dobj, dt),
             best_gap=jnp.asarray(stats.gap, dt),
-            since_best=jnp.zeros((), jnp.int32))
+            since_best=jnp.zeros((), jnp.int32),
+            best_pinf=jnp.asarray(stats.pinf_l1, dt),
+            since_pinf=jnp.zeros((), jnp.int32))
         scale = jnp.asarray(self.scale_obj_his, dt)
         status = "ok"
         while True:
+            it_prev = stats.iter
+            t_disp = time.time()
             out = chunk_fn(self.pd, carry["U"], carry["V"],
                            carry["locals_"], carry["lp_contrib"],
                            carry["constr_sum"], carry["dual"], carry["rho"],
@@ -465,10 +499,10 @@ class LoradsSolver:
                            carry["old_pinf_mean"], carry["bad_pd"],
                            carry["it"], carry["pinf_l1_0"], carry["gap_0"],
                            carry["pobj0"], carry["dobj0"], scale,
-                           jnp.asarray(iter_celling, jnp.int32),
-                           jnp.asarray(self.device_chunk_iters,
-                                       jnp.int32),
+                           jnp.asarray(celling, jnp.int32),
+                           jnp.asarray(n_dev, jnp.int32),
                            carry["best_gap"], carry["since_best"],
+                           carry["best_pinf"], carry["since_pinf"],
                            self.S)
             carry = dict(
                 U=out["U"], V=out["V"], locals_=out["locals"],
@@ -478,13 +512,23 @@ class LoradsSolver:
                 old_pinf_mean=out["old_pinf_mean"], bad_pd=out["bad_pd"],
                 it=out["it"], pinf_l1_0=out["pinf_l1"],
                 gap_0=out["gap"], pobj0=out["pobj"], dobj0=out["dobj"],
-                best_gap=out["best_gap"], since_best=out["since_best"])
+                best_gap=out["best_gap"], since_best=out["since_best"],
+                best_pinf=out["best_pinf"],
+                since_pinf=out["since_pinf"])
             scalars = jax.device_get(
                 {k: out[k] for k in ("it", "cg_iter", "rho", "pobj",
                                      "dobj", "pinf_l1", "pinf_inf",
                                      "gap", "status")})
+            wall = time.time() - t_disp
             stats.iter = int(scalars["it"])
             stats.cg_iter = int(scalars["cg_iter"])
+            # resize the next dispatch from this one's measured
+            # per-iteration wall; growth capped at 2x per step so a
+            # compile-inflated first measurement only delays the
+            # ramp-up, never produces a worker-killing dispatch
+            per_it = wall / max(stats.iter - it_prev, 1)
+            n_dev = max(1, min(self.device_chunk_iters, 2 * n_dev,
+                               int(disp_target / max(per_it, 1e-4))))
             stats.rho = float(scalars["rho"])
             stats.pobj = float(scalars["pobj"])
             stats.dobj = float(scalars["dobj"])
@@ -504,14 +548,56 @@ class LoradsSolver:
                 status = "num_err"
                 break
             if code == admm_mod.STALLED:
-                self.log("ADMM gap plateau at the f32 dual-noise floor")
+                self.log("ADMM gap plateau"
+                         + (" in the gap continuation"
+                            if in_continuation else
+                            " at the f32 dual-noise floor"))
+                if in_continuation and self.dtype == jnp.float64:
+                    # the gap's empirical floor was reached under
+                    # CONTINUED f64 iteration: remember it so solve()
+                    # can skip the level-1 reopt when the plateau is
+                    # already inside the classification band (the
+                    # reopt re-grinds ALM to move a gap that has just
+                    # demonstrably stopped moving — measured on
+                    # matcomp2000: reopt left gap at 4.1e-5 vs the
+                    # continuation's 3.1e-5 plateau, at ~300 s cost)
+                    self._gap_push_stalled = True
                 status = "stalled"
                 break
             if code in (admm_mod.CONVERGED, admm_mod.EARLY_STOP,
                         admm_mod.BAD_PD):
+                # Gap continuation (deviation; see DESIGN.md): the
+                # reference ADMM exits on pinf alone
+                # (lorads_admm.c:110-118) and concedes gap > tol to a
+                # full reopt round (objective rescale + high-rho ALM
+                # re-grind + ADMM, ~2x the whole solve on theta).  When
+                # pinf converged but the gap is still above the STRICT
+                # tol (the reopt trigger, main.c:376-398), keep the
+                # splitting running with gap-inclusive convergence —
+                # it is still the same fixed-point iteration, and the
+                # device-side stall detector hands off to reopt within
+                # 75 no-progress iterations if the push is hopeless.
+                if (code == admm_mod.CONVERGED and not reopt
+                        and not in_continuation
+                        and p.admm_gap_continue
+                        and stats.gap > p.phase2_tol
+                        and stats.pinf_l1 <= p.phase2_tol
+                        and stats.iter < iter_celling):
+                    in_continuation = True
+                    chunk_fn = self._admm_chunk_gapstop
+                    celling = min(iter_celling, stats.iter + 2000)
+                    # measure gap progress from here, not from the
+                    # main phase's tracker
+                    carry["best_gap"] = jnp.asarray(stats.gap, dt)
+                    carry["since_best"] = jnp.zeros((), jnp.int32)
+                    self.log("ADMM gap continuation: pinf converged, "
+                             f"pushing gap {stats.gap:.2e} -> "
+                             f"{p.phase2_tol:.0e} before conceding to "
+                             "reopt")
+                    continue
                 status = "ok"
                 break
-            if stats.iter >= iter_celling:
+            if stats.iter >= celling:
                 status = "ok"
                 break
             if time.time() - time_solve_start >= self.params.time_sec_limit:
@@ -971,7 +1057,24 @@ class LoradsSolver:
         # dinf: the f32 round leaves the gap at 4.5e-3 and the
         # deferred level-2 f64 rounds never close it — max_iter at
         # 31 s vs 23.5 s certified with the eager escalation.)
-        if status is SolverStatus.UNKNOWN and p.reopt_level >= 1:
+        # Skip the level-1 gap-polish reopt when the gap continuation
+        # already pushed the gap to its EMPIRICAL floor under continued
+        # f64 iteration and that floor sits inside the classification
+        # band (main.c:478-487 accepts gap <= 5 tol): the reopt's only
+        # level-1 purpose is moving a gap that has just demonstrably
+        # stopped moving.  dinf is still measured next, and level 2
+        # runs the full reopt if it fails its band — nothing reported
+        # is weakened.  high_acc_mode keeps strict reference behavior.
+        skip_gap_reopt = (getattr(self, "_gap_push_stalled", False)
+                          and not p.high_acc_mode
+                          and admm_stats.gap <= 5 * p.phase2_tol
+                          and admm_stats.pinf_l1 <= p.phase2_tol)
+        if skip_gap_reopt:
+            self.log("skipping level-1 reopt: gap plateaued at "
+                     f"{admm_stats.gap:.2e} (within the 5*tol band) "
+                     "under continued f64 ADMM")
+        if (status is SolverStatus.UNKNOWN and p.reopt_level >= 1
+                and not skip_gap_reopt):
             cnt = 0
             while ((alm_stats.gap > p.phase2_tol
                     or alm_stats.pinf_l1 > p.phase2_tol)

@@ -115,6 +115,16 @@ class LoradsParams:
     # re-measured after the shift).  Spares the expensive high-rho
     # ALM polish whose only purpose is driving dinf down.
     dual_repair: bool = True
+    # ADMM gap continuation (deviation, documented in DESIGN.md): the
+    # reference ADMM exits on pinf alone (lorads_admm.c:110-118) and
+    # concedes gap > phase2Tol to a full reopt round (objective
+    # rescale + high-rho ALM re-grind, main.c:376-398 — ~2x the whole
+    # solve on theta).  With this on, the initial ADMM keeps running
+    # with gap-inclusive convergence while the gap still improves
+    # (device-side stall exit after 75 no-progress iterations), so a
+    # solve whose gap is within reach never pays the reopt.  Measured:
+    # theta n=300 22.1 s -> see DESIGN.md round-2 notes.
+    admm_gap_continue: bool = True
     # multi-device placement: "off" | "auto" | "dp" | "sp" | "tp".
     # dp = block-axis data parallelism (bucket B axis over the mesh);
     # sp = union-pattern sharding for single large sparse cones

@@ -78,3 +78,84 @@ class CGStats:
     def add(self, iters: int, solves: int = 1):
         self.iters += int(iters)
         self.solves += solves
+
+
+# ---------------------------------------------------------------------------
+# Roofline accounting (VERDICT r1 #5; no reference counterpart — the
+# reference reports wall-clock only).
+#
+# FLOPs/bytes come from XLA's own compiled cost model
+# (compiled.cost_analysis()), so the numbers track exactly what was
+# staged — fusions, pattern gathers, scatter-free cumsum sums and all —
+# rather than a hand math model.  Peaks below are per-chip DATASHEET
+# numbers; MFU/BW% are fractions of those.
+# ---------------------------------------------------------------------------
+
+# (peak_flops_per_s by dtype, peak_HBM_bytes_per_s).  f32 on TPU runs
+# the MXU in multi-pass bf16 (precision=HIGHEST), ~1/4 the bf16 rate;
+# f64 is software-emulated, ~12x below f32 (measured, ROUND1_NOTES).
+_PEAKS = {
+    "tpu v5e": {"bf16": 197e12, "f32": 49e12, "f64": 4e12,
+                "hbm": 819e9},
+    "tpu v5p": {"bf16": 459e12, "f32": 115e12, "f64": 9.5e12,
+                "hbm": 2765e9},
+    "cpu": {"bf16": 2e11, "f32": 2e11, "f64": 1e11, "hbm": 5e10},
+}
+
+
+def chip_peaks(device=None) -> Dict[str, float]:
+    """Datasheet peaks for the current (or given) device."""
+    import jax
+
+    d = device or jax.devices()[0]
+    kind = getattr(d, "device_kind", "cpu").lower()
+    for key, peaks in _PEAKS.items():
+        if key.split()[-1] in kind:
+            return peaks
+    return _PEAKS["tpu v5e" if "tpu" in kind or "axon" in
+                  getattr(d, "platform", "") else "cpu"]
+
+
+def compiled_cost(compiled) -> Dict[str, float]:
+    """(flops, bytes) of one dispatch from XLA's compiled cost model."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):     # older jax returns [dict]
+        ca = ca[0]
+    return {"flops": float(ca.get("flops", 0.0)),
+            "bytes": float(ca.get("bytes accessed", 0.0))}
+
+
+def roofline(flops: float, bytes_: float, wall_s: float,
+             dtype: str = "f32", device=None) -> Dict[str, float]:
+    """Roofline summary for one measured dispatch (or iteration).
+
+    target_s  — the speed-of-light time max(flops/peak, bytes/bw):
+                below it the measurement is impossible, near it the
+                kernel is compute- or bandwidth-bound, far above it
+                the kernel is latency/occupancy-bound.
+    mfu       — achieved fraction of peak FLOP/s.
+    bw_frac   — achieved fraction of peak HBM bandwidth.
+    headroom  — wall_s / target_s (1.0 = speed of light).
+    """
+    peaks = chip_peaks(device)
+    peak_f = peaks.get(dtype, peaks["f32"])
+    t_compute = flops / peak_f
+    t_memory = bytes_ / peaks["hbm"]
+    target = max(t_compute, t_memory)
+    return {
+        "flops": flops, "bytes": bytes_, "wall_s": wall_s,
+        "target_s": target,
+        "bound": "compute" if t_compute >= t_memory else "memory",
+        "mfu": flops / peak_f / wall_s if wall_s > 0 else 0.0,
+        "bw_frac": bytes_ / peaks["hbm"] / wall_s if wall_s > 0 else 0.0,
+        "headroom": wall_s / target if target > 0 else float("inf"),
+    }
+
+
+def format_roofline(label: str, r: Dict[str, float]) -> str:
+    """One aligned report line (printed alongside wall-clock)."""
+    return (f"{label:>24}: {r['wall_s'] * 1e3:8.3f} ms  "
+            f"target {r['target_s'] * 1e3:7.3f} ms "
+            f"({r['bound']}-bound)  x{r['headroom']:.1f} off  "
+            f"MFU {r['mfu'] * 100:5.2f}%  BW {r['bw_frac'] * 100:5.1f}%  "
+            f"[{r['flops'] / 1e9:.2f} GF, {r['bytes'] / 1e6:.1f} MB]")

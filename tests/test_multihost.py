@@ -61,7 +61,7 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_psum(tmp_path):
+def _run_pair(tmp_path):
     port = _free_port()
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
@@ -84,5 +84,18 @@ def test_two_process_distributed_psum(tmp_path):
             raise
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
-        assert f"proc {pid}: global sum 12.0 OK" in out
+        if p.returncode != 0 or f"proc {pid}: global sum 12.0 OK" not in out:
+            return f"proc {pid} rc {p.returncode}:\n{out}"
+    return None
+
+
+def test_two_process_distributed_psum(tmp_path):
+    # coordinator handshakes can time out under full-suite xdist load
+    # on a small host; retries (each with a fresh port) keep the test
+    # meaningful without being load-flaky
+    err = None
+    for _ in range(3):
+        err = _run_pair(tmp_path)
+        if err is None:
+            return
+    assert err is None, err
