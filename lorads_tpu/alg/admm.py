@@ -451,7 +451,17 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
             else:
                 stalled = (since_n >= 50) & (pinf <= tol2 * 0.1)
                 if pd.rhs.dtype == jnp.float32:
-                    stalled = stalled | (since_p_n >= 30)
+                    # fire ONLY in the l1/inf wedge (pinf_l1 already
+                    # past the strict tol while the inf-scaled exit
+                    # still fails): that is the f32-floor regime —
+                    # matcomp's pinf_l1 sat 5x under tol and flat
+                    # while pinf_inf was 5x over.  Without the wedge
+                    # guard this misfired on theta's slow-but-alive
+                    # descent (pinf 4.7e-4 -> 4.2e-4 over 80 iters)
+                    # and sent its whole ADMM phase to f64 (+4.3 s).
+                    stalled = stalled | ((since_p_n >= 30)
+                                         & (pinf <= tol2)
+                                         & (pinf_inf > tol2))
             status = jnp.where((status == RUNNING) & stalled,
                                i32(STALLED), status)
 

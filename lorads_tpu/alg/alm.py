@@ -439,6 +439,7 @@ def outer_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
                 rank_flag_thres, is_rank_max, last_outer_start,
                 pobj0, dobj0, pinf0, gap0, scale_obj,
                 end_sub_tol, end_tau_tol, phase1_tol, phase2_tol,
+                inner_budget=None,
                 reopt: bool = False, high_acc_mode: bool = False,
                 early_stop: bool = True, cones_ok: bool = True,
                 max_outers: int = 8):
@@ -452,10 +453,22 @@ def outer_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
     """
     dt = pd.rhs.dtype
     i32 = lambda v: jnp.asarray(v, jnp.int32)
+    if inner_budget is None:
+        # NOT a jnp default arg: that would create an array (and
+        # initialize the XLA backend) at module-import time, breaking
+        # jax.distributed.initialize-before-any-jax-call workflows
+        inner_budget = i32(2 ** 30)
     check_pinf_conv = not reopt
 
     def cond(c):
-        return (c["oexit"] == O_LIMIT) & (c["n_done"] < max_outers)
+        # inner_budget: traced per-dispatch L-BFGS iteration budget
+        # checked BETWEEN outers — the host sizes it from the previous
+        # dispatch's measured wall so one device program can't outlive
+        # the remote worker's ~60 s dispatch ceiling (same mechanism
+        # as the ADMM chunks' adaptive n_steps; a single pathological
+        # outer is still bounded by MAX_ALM_SUB_ITER)
+        return ((c["oexit"] == O_LIMIT) & (c["n_done"] < max_outers)
+                & (c["total_inner"] < inner_budget))
 
     def body(c):
         # ---- loop-top break (k budget) ----
@@ -702,8 +715,13 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
     dt = pd.rhs.dtype
     cones_ok = True if not reopt else (pd.n_buckets <= 10)
     max_outers = getattr(solver_ctx, "alm_max_outers", 8)
+    # adaptive per-dispatch inner-iteration budget (see outer_chunk's
+    # cond): persists across ALM calls on the solver so the reopt
+    # phase inherits what the initial phase learned
+    inner_budget = getattr(solver_ctx, "alm_inner_budget", 8000)
 
     while True:
+        t_disp = time.time()
         out = outer_chunk(
             pd, R, grad, hist, dual, constr_sum,
             jnp.asarray(cert_val, dt), jnp.asarray(stats.rho, dt),
@@ -727,6 +745,7 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
             jnp.asarray(params.end_tau_tol, dt),
             jnp.asarray(params.phase1_tol, dt),
             jnp.asarray(params.phase2_tol, dt),
+            inner_budget=jnp.asarray(inner_budget, jnp.int32),
             reopt=reopt, high_acc_mode=params.high_acc_mode,
             early_stop=early_stop, cones_ok=cones_ok,
             max_outers=max_outers)
@@ -739,6 +758,15 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
             "update_max_sub_counter", "rank_flag", "total_inner",
             "pobj", "dobj", "pinf_l1", "pinf_inf", "gap", "tau",
             "mexit", "oexit", "n_done", "logbuf")})
+        # resize the next dispatch's budget from this one's measured
+        # per-inner-iteration wall (target ~20 s; growth-capped 2x so
+        # a compile-laden first measurement only delays ramp-up)
+        wall = time.time() - t_disp
+        done_inner = max(int(sc["total_inner"]), 1)
+        per_it = wall / done_inner
+        inner_budget = max(500, min(40000, 2 * inner_budget,
+                                    int(20.0 / max(per_it, 1e-6))))
+        solver_ctx.alm_inner_budget = inner_budget
         cert_val = float(sc["cert_val"])
         stats.rho = float(sc["rho"])
         rho_update_factor = float(sc["rho_factor"])

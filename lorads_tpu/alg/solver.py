@@ -468,7 +468,14 @@ class LoradsSolver:
         # from the MEASURED per-iteration wall of the previous one,
         # targeting ~20 s; the first (compile-laden) dispatch starts
         # conservatively sized.
-        n_dev = min(self.device_chunk_iters, 10)
+        # per-dtype memory of the learned dispatch size: reopt /
+        # continuation / escalated re-entries skip the ramp-up (the
+        # f64 entry re-learns from scratch — its per-iteration cost is
+        # ~12x f32's)
+        if not hasattr(self, "_admm_n_dev"):
+            self._admm_n_dev = {}
+        n_dev = self._admm_n_dev.get(
+            jnp.dtype(dt).name, min(self.device_chunk_iters, 10))
         disp_target = 20.0
         carry = dict(
             U=self.U, V=self.V, locals_=locals_, lp_contrib=lp_contrib,
@@ -529,6 +536,7 @@ class LoradsSolver:
             per_it = wall / max(stats.iter - it_prev, 1)
             n_dev = max(1, min(self.device_chunk_iters, 2 * n_dev,
                                int(disp_target / max(per_it, 1e-4))))
+            self._admm_n_dev[jnp.dtype(dt).name] = n_dev
             stats.rho = float(scalars["rho"])
             stats.pobj = float(scalars["pobj"])
             stats.dobj = float(scalars["dobj"])

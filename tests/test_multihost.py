@@ -68,6 +68,12 @@ def _run_pair(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["LORADS_TPU_NO_COMPILE_CACHE"] = "1"
+    # must be cleared in the SUBPROCESS env: the axon sitecustomize
+    # hook runs before the worker script's own os.environ writes, and
+    # with a live pool address it registers the remote backend —
+    # jax.distributed.initialize then refuses to run
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
@@ -87,6 +93,33 @@ def _run_pair(tmp_path):
         if p.returncode != 0 or f"proc {pid}: global sum 12.0 OK" not in out:
             return f"proc {pid} rc {p.returncode}:\n{out}"
     return None
+
+
+def test_import_does_not_initialize_backend():
+    """jax.distributed.initialize() must stay callable AFTER importing
+    lorads_tpu: no module-level jnp array creation (a jnp default arg
+    once initialized the XLA backend at import and broke every
+    multi-host workflow — found as a 'flaky' version of the test
+    below)."""
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ['PALLAS_AXON_POOL_IPS'] = ''\n"
+        "import jax\n"
+        "from jax._src import xla_bridge\n"
+        "import lorads_tpu\n"
+        "assert not xla_bridge._backends, 'backend initialized at import'\n"
+        "print('clean')\n")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PALLAS_AXON_POOL_IPS"] = ""   # keep sitecustomize inert
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["LORADS_TPU_NO_COMPILE_CACHE"] = "1"
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0 and "clean" in out.stdout, (
+        out.stdout + out.stderr)
 
 
 def test_two_process_distributed_psum(tmp_path):
