@@ -95,6 +95,12 @@ def run_family(name, params):
         "gap": res.gap,
         "dinf_l1": res.dinf_l1,
         "compile_overhead_s": round(warm_s - steady, 3),
+        # zero-egress image: instances are generator-built PROXIES of
+        # the reference's published suite (rudy-style random graphs
+        # for G-set Max-Cut, random graphs for theta, random low-rank
+        # masks for matcomp), identical inputs fed to both solvers —
+        # the real G-set files are not vendorable here (VERDICT r1 #6)
+        "instance": "synthetic proxy (see bench.make_problem)",
     }
     return {k: v for k, v in rec.items() if v is not None or
             k in ("vs_baseline",)}

@@ -85,10 +85,13 @@ class CGStats:
 # reference reports wall-clock only).
 #
 # FLOPs/bytes come from XLA's own compiled cost model
-# (compiled.cost_analysis()), so the numbers track exactly what was
-# staged — fusions, pattern gathers, scatter-free cumsum sums and all —
-# rather than a hand math model.  Peaks below are per-chip DATASHEET
-# numbers; MFU/BW% are fractions of those.
+# (compiled.cost_analysis()).  CAVEAT: 'bytes accessed' counts each
+# op's logical operand/result traffic BEFORE fusion, so it is an UPPER
+# bound on real HBM traffic — a memory-bound target computed from it
+# is an upper bound on required time, and "wall below target" means
+# fusion beat the unfused bound, not faster-than-light hardware.
+# FLOPs are fusion-independent and exact.  Peaks below are per-chip
+# DATASHEET numbers; MFU/BW% are fractions of those.
 # ---------------------------------------------------------------------------
 
 # (peak_flops_per_s by dtype, peak_HBM_bytes_per_s).  f32 on TPU runs

@@ -96,18 +96,22 @@ def report(fam: str, n_iter: int, dtype: str):
                             caches).compile())
     compiled = {n: alm_loop.lower(pd, R, grad, hist, dual, cs, rho,
                                   n).compile()
-                for n in (n_iter, 3 * n_iter)}
-    ts = {}
-    for n, c in compiled.items():
-        args = (pd, R, grad, hist, dual, cs, rho)
+                for n in (n_iter, 5 * n_iter)}
+    args = (pd, R, grad, hist, dual, cs, rho)
+    for c in compiled.values():
         float(c(*args))                      # warm
+    # median of paired diffs: tunnel latency jitter swamps a single
+    # short-minus-long difference on small problems
+    diffs = []
+    for _ in range(5):
         t0 = time.time()
-        for _ in range(3):
-            float(c(*args))
-        ts[n] = (time.time() - t0) / 3
-    d_iters = 2 * n_iter
-    r = roofline(cost["flops"], cost["bytes"],
-                 (ts[3 * n_iter] - ts[n_iter]) / d_iters, dtype=dt_name)
+        float(compiled[n_iter](*args))
+        t1 = time.time()
+        float(compiled[5 * n_iter](*args))
+        t2 = time.time()
+        diffs.append(((t2 - t1) - (t1 - t0)) / (4 * n_iter))
+    per_iter = sorted(diffs)[len(diffs) // 2]
+    r = roofline(cost["flops"], cost["bytes"], per_iter, dtype=dt_name)
     print(format_roofline("ALM iteration", r))
 
     # one ADMM sweep (U+V updates via CG/closed form + dual refresh)
