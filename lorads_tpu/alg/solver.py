@@ -585,10 +585,18 @@ class LoradsSolver:
                 # it is still the same fixed-point iteration, and the
                 # device-side stall detector hands off to reopt within
                 # 75 no-progress iterations if the push is hopeless.
+                # engage only when the gap is within plausible reach
+                # (<= 10 tol): from farther out (theta800 exits ADMM
+                # at gap 33x tol) the long f32 push costs ~20 s AND
+                # leaves a worse dual than the reopt's rescaled ALM
+                # polish — level-2's capped rounds then can't certify
+                # dinf (measured: theta800 106 s primal_optimal with
+                # the unguarded push vs 48.5 s primal_dual_optimal
+                # through the reopt path)
                 if (code == admm_mod.CONVERGED and not reopt
                         and not in_continuation
                         and p.admm_gap_continue
-                        and stats.gap > p.phase2_tol
+                        and p.phase2_tol < stats.gap <= 10 * p.phase2_tol
                         and stats.pinf_l1 <= p.phase2_tol
                         and stats.iter < iter_celling):
                     in_continuation = True
