@@ -19,6 +19,9 @@ never reaches tolerance (gap 8e-3 at 165 s, still unconverged at the
 Env knobs:
   BENCH_FAMILIES  comma list (default: all seven)
   BENCH_N         legacy single-maxcut mode (overrides BENCH_FAMILIES)
+  BENCH_FILE      comma list of real input files (.dat-s via the SDPA
+                  reader, .rudy G-set graphs as Max-Cut) benchmarked
+                  instead of the synthetic families; vs_baseline null
   BENCH_BUDGET_S  soft wall-clock budget; families beyond it are
                   skipped and listed as such (default 2400)
 """
@@ -51,6 +54,13 @@ DEFAULT_FAMILIES = ("maxcut20000", "maxcut2000", "matcomp500",
 
 def make_problem(name):
     from lorads_tpu.io import generators
+    if name.endswith(".rudy"):
+        # G-set graph file -> Max-Cut SDP (the reference's headline
+        # input format, README.md:148-151)
+        return generators.maxcut_from_graph(name)
+    if name.endswith(".dat-s") or os.path.sep in name:
+        from lorads_tpu.io import read_sdpa
+        return read_sdpa(name)
     if name.startswith("maxcut"):
         n = int(name[len("maxcut"):])
         deg = 10 if n >= 50000 else (8 if n >= 20000 else 6)
@@ -81,9 +91,12 @@ def run_family(name, params):
 
     tol = params.phase2_tol
     ok = res.pinf_l1 <= tol and res.gap <= 5 * tol
+    is_file = os.path.sep in name or name.endswith((".dat-s", ".rudy"))
+    metric = (os.path.splitext(os.path.basename(name))[0]
+              if is_file else name)
     base = BASELINES.get(name)
     rec = {
-        "metric": f"{name}_time_to_1e-5",
+        "metric": f"{metric}_time_to_1e-5",
         "value": round(steady, 3),
         "unit": "s",
         "vs_baseline": (round(base / max(steady, 1e-9), 3)
@@ -99,8 +112,10 @@ def run_family(name, params):
         # the reference's published suite (rudy-style random graphs
         # for G-set Max-Cut, random graphs for theta, random low-rank
         # masks for matcomp), identical inputs fed to both solvers —
-        # the real G-set files are not vendorable here (VERDICT r1 #6)
-        "instance": "synthetic proxy (see bench.make_problem)",
+        # the real G-set files are not vendorable here (VERDICT r1 #6);
+        # BENCH_FILE=... benchmarks real .dat-s / .rudy files instead
+        "instance": (name if is_file
+                     else "synthetic proxy (see bench.make_problem)"),
     }
     return {k: v for k, v in rec.items() if v is not None or
             k in ("vs_baseline",)}
@@ -109,7 +124,9 @@ def run_family(name, params):
 def main():
     from lorads_tpu import LoradsParams
 
-    if os.environ.get("BENCH_N"):
+    if os.environ.get("BENCH_FILE"):
+        families = os.environ["BENCH_FILE"].split(",")
+    elif os.environ.get("BENCH_N"):
         families = [f"maxcut{int(os.environ['BENCH_N'])}"]
     else:
         families = os.environ.get(
