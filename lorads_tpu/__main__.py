@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "directions (theta trace, Max-Cut diag "
                         "family) to remove negative slack "
                         "eigenvalues; dinf re-measured post-shift")
+    p.add_argument("--dualRefine", type=int, default=1,
+                   help="when dinf fails its band, fit the dual to "
+                        "complementarity min ||(C - A*(y)) R||_F by "
+                        "CGNR and keep it only if the re-measured "
+                        "dinf/gap outcome improves (replaces the "
+                        "level-2 reopt grind when it succeeds)")
     p.add_argument("--warmStart", default=None, metavar="PATH",
                    help="seed the solve from a previous --solOut .npz "
                         "(per-block factors, LP values, dual); see "
@@ -161,6 +167,7 @@ def main(argv=None) -> int:
         l2_rescaling=bool(args.l2Rescaling), reopt_level=args.reoptLevel,
         dyrank_level=args.dyrankLevel, high_acc_mode=bool(args.highAccMode),
         dual_uv=bool(args.dualUV), dual_repair=bool(args.dualRepair),
+        dual_refine=bool(args.dualRefine),
         admm_gap_continue=bool(args.admmGapContinue),
         shard=args.shard,
         dtype=args.dtype, seed=args.seed, verbose=not args.quiet,

@@ -122,9 +122,13 @@ def _min_ritz(matvec: Callable, v: jnp.ndarray, k: int):
     return lam, v_next, resid
 
 
+# jitted Ritz step for host-driven restart loops (profiling tools)
+min_ritz = partial(jax.jit, static_argnames=("matvec", "k"))(_min_ritz)
+
+
 def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
                            k: int = 36, tol: float = 1e-2,
-                           maxit: int = 600) -> jnp.ndarray:
+                           maxit: int = 600):
     """Fully on-device ADAPTIVE variant: sweeps + batched k x k
     tridiagonal eigh + Ritz restarts inside a while_loop, no host
     round-trips.  For use INSIDE a jitted caller (no closure-keyed jit
@@ -152,11 +156,20 @@ def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
       further refinement of a POSITIVE eigenvalue is wasted matvecs.
       Without this, every certified-optimal solve (slack PSD, the
       common case) would burn the full maxit budget.
-    * VALUE convergence: when the smallest Ritz value moves < tol/2
-      relative between consecutive restarts it has converged in VALUE
-      even if its residual can't reach the band (small-|lam| blocks at
-      f32, where the band floors at the sweep's rounding noise —
-      without this a certified Max-Cut slack grinds to maxit).
+    * VALUE convergence by GEOMETRIC EXTRAPOLATION: restart-to-restart
+      Ritz steps decay geometrically (step ratio q measured in-loop);
+      the predicted remaining drift step * q/(1-q) (q capped at 0.9)
+      under tol/2 * |lam| means the VALUE has converged even when the
+      residual can't reach the band (small-|lam| blocks at f32, where
+      the band floors at the sweep's rounding noise — without a value
+      exit a certified Max-Cut slack grinds to maxit).  Extrapolated
+      remaining drift — not the raw step — is the probe: a raw-step
+      rule either fires late on fast tails (measured maxcut n=1e5:
+      q ~ 0.25, converged at restart 3 but raw step settles at 5-6,
+      ~2x the certificate cost) or declares a slowly-creeping
+      clustered spectrum (q ~ 0.6+) settled while it is still 2-3x
+      off (measured on the theta profile).  Needs two steps, so it
+      can't fire before restart 3.
     """
     B, n = v0.shape
     k = min(k, n)
@@ -165,23 +178,29 @@ def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
     floor = 1e-4 if dt == jnp.float64 else 3e-3
 
     def cond(c):
-        it, lam, v, resid, lam_prev = c
+        it, lam, v, resid, lam_prev, step_prev = c
         band = tol * jnp.maximum(jnp.abs(lam), jnp.asarray(floor, dt))
-        # purely RELATIVE: an absolute floor here would declare a
-        # slowly-creeping clustered spectrum settled while it is still
-        # 2-3x off (measured on the theta profile)
-        settled = jnp.abs(lam - lam_prev) <= 0.5 * tol * jnp.abs(lam)
+        # purely RELATIVE band; the value probe below handles the
+        # small-|lam| regime instead of an absolute floor
+        step = jnp.abs(lam - lam_prev)
+        q = jnp.minimum(step / jnp.maximum(step_prev, 1e-30), 0.9)
+        remaining = step * q / (1.0 - q)
+        valid = step_prev < jnp.finfo(dt).max  # needs two real steps
+        settled = valid & (remaining <= 0.5 * tol * jnp.abs(lam))
         done = ((resid <= band) | (lam - resid >= -tol * floor)
                 | settled)
         return jnp.logical_and(it < max_restarts, ~jnp.all(done))
 
     def body(c):
-        it, lam, v, _, _ = c
+        it, lam, v, _, lam_prev, _ = c
         lam_n, v_next, resid = _min_ritz(matvec, v, k)
-        return (it + 1, lam_n, v_next, resid, lam)
+        step_prev = jnp.abs(lam - lam_prev)
+        return (it + 1, lam_n, v_next, resid, lam, step_prev)
 
     big = jnp.full((B,), jnp.finfo(dt).max, dt)
     init = (jnp.zeros((), jnp.int32), jnp.zeros((B,), dt), v0, big,
-            -big)
-    _, lam, _, _, _ = jax.lax.while_loop(cond, body, init)
-    return lam
+            -big, big)
+    it, lam, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    # restart count rides along for observability (certificate cost
+    # attribution, VERDICT r2 #5); callers unpack (lam, restarts)
+    return lam, it

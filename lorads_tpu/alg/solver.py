@@ -27,6 +27,7 @@ from lorads_tpu.alg import alm as alm_mod
 from lorads_tpu.alg import aop
 from lorads_tpu.alg.admm import ADMMStats
 from lorads_tpu.alg.alm import ALMStats
+from lorads_tpu.alg.dualrefine import dual_ls_refine
 from lorads_tpu.alg.lanczos import lanczos_min_eig_device
 from lorads_tpu.alg.state import FactorVec, make_history
 from lorads_tpu.config import LoradsParams, SolverStatus
@@ -838,9 +839,12 @@ class LoradsSolver:
             v0 *= (np.arange(bk.n)[None, :]
                    < np.asarray(bp.dims)[:b_eff, None])
             v0s.append(jnp.asarray(v0, self.dtype))
-        lp_part, lams = _dual_infeas_device(self.pd, self.dual,
-                                            tuple(v0s))
-        lp_part, lams = jax.device_get((lp_part, lams))
+        lp_part, lams, restarts = _dual_infeas_device(self.pd, self.dual,
+                                                      tuple(v0s))
+        lp_part, lams, restarts = jax.device_get((lp_part, lams, restarts))
+        # per-bucket Lanczos restart counts (-1 = exact eigh): cost
+        # observability for the certificate (VERDICT r2 #5)
+        self.last_cert_restarts = [int(r) for r in restarts]
         out = []
         for lam in lams:
             lam = np.asarray(lam)
@@ -915,6 +919,58 @@ class LoradsSolver:
         dinf /= self.scale_obj_his
         dinf /= (self.pd.c_nrm1 + 1.0)
         return dinf
+
+    def _try_dual_refine(self, admm_stats) -> bool:
+        """Direct dual refinement (alg/dualrefine.py, extension): fit
+        the dual to complementarity min ||(C - A^*(y)) Rbar||_F^2 by
+        CGNR from the current dual, re-certify the candidate with the
+        standard certificate (dual_repair composes on top), and accept
+        only if the DIMACS acceptance outcome improves.  Replaces the
+        reference's level-2 reopt grind (high-rho ALM re-polish,
+        lorads_solver.c:1075-1117 + main.c:414-476) when it succeeds;
+        the caller falls back to that grind when it doesn't.
+
+        Returns True iff the refined dual was kept (admm_stats'
+        dinf/dObj/gap updated to the re-measured values)."""
+        p = self.params
+        band = p.phase2_tol if p.high_acc_mode else 5 * p.phase2_tol
+        t0 = time.time()
+        Rbar = jax.tree.map(lambda u, v: 0.5 * (u + v), self.U, self.V)
+        old_dual = self.dual
+        old_dobj, old_gap = self.dobj, self.gap
+        n_iter = min(max(2 * self.pd.m, 64), 1200)
+        cand, ls0, ls1 = dual_ls_refine(self.pd, Rbar, self.dual,
+                                        n_iter)
+        ls0, ls1 = jax.device_get((ls0, ls1))
+        self.dual = cand
+        dinf_new = self.dual_infeasibility()   # repair may compose
+        dobj_new = float(jnp.vdot(self.pd.rhs, self.dual))
+        dobj_new /= self.scale_obj_his
+        gap_new = abs(self.pobj - dobj_new) / (
+            1.0 + abs(self.pobj) + abs(dobj_new))
+        ok_new = dinf_new <= band and gap_new <= band
+        ok_old = (admm_stats.dinf_l1 <= band
+                  and admm_stats.gap <= band)
+        accept = ok_new and (not ok_old
+                             or dinf_new < admm_stats.dinf_l1)
+        self.log(f"dual refine: LS |S R| {float(ls0):.3e} -> "
+                 f"{float(ls1):.3e} ({n_iter}-iter CGNR cap), "
+                 f"dinf {admm_stats.dinf_l1:.2e} -> {dinf_new:.2e}, "
+                 f"gap {admm_stats.gap:.2e} -> {gap_new:.2e} "
+                 f"[{time.time() - t0:.2f}s] -> "
+                 f"{'accepted' if accept else 'rejected'}")
+        if accept:
+            self.dobj = dobj_new
+            self.gap = gap_new
+            admm_stats.dobj = dobj_new
+            admm_stats.gap = gap_new
+            admm_stats.dinf_l1 = dinf_new
+            admm_stats.dinf_inf = dinf_new * (1 + self.pd.c_nrm1) / (
+                1 + self.pd.c_nrm_inf)
+            return True
+        self.dual = old_dual
+        self.dobj, self.gap = old_dobj, old_gap
+        return False
 
     def _repair_plan(self, lp_part, lams):
         """Build the dual-repair shift, or None when repairing cannot
@@ -1118,6 +1174,20 @@ class LoradsSolver:
         self.log(f"Dual infeasibility: l_1 = {dinf:.6f}, "
                  f"l_inf = {admm_stats.dinf_inf:.6f}")
 
+        # Direct dual refinement (extension): before conceding a
+        # failing dinf to the level-2 reopt grind, fit the dual to
+        # complementarity (one cheap CGNR dispatch) and keep it if the
+        # re-measured outcome improves — the level-2 loop below then
+        # sees passing bands and never runs.
+        if (status is SolverStatus.UNKNOWN and p.dual_refine
+                and self.pd.lp is None
+                and admm_stats.dinf_l1 > (
+                    p.phase2_tol if p.high_acc_mode
+                    else 5 * p.phase2_tol)):
+            t_di = time.time()
+            self._try_dual_refine(admm_stats)
+            dual_infeas_time += time.time() - t_di
+
         # reopt level 2 (main.c:414-476)
         if status is SolverStatus.UNKNOWN and p.reopt_level >= 2:
             dual_cnt = 0
@@ -1287,6 +1357,91 @@ def _eig_rescue_ok(bk) -> bool:
             and bk.B * bk.n * bk.n <= _DENSE_EIG_BUDGET)
 
 
+def _slack_operator(bk, w_loc):
+    """Normalized slack operator S/ws = (C - A^*(lambda))/ws for one
+    bucket, shared by the jitted certificate and the profiling tools
+    (tools/profile_cert.py drives per-restart Ritz trajectories on the
+    exact production operator).
+
+    Returns (kind, op, ws_eff):
+      kind "eigh":    op is the normalized dense slack [B, n, n]
+                      (exact-eigh rescue path)
+      kind "lanczos": op is the [B, n] -> [B, n] matvec closure
+    ws_eff rescales the normalized eigenvalues back.
+    """
+    if (bk.split and bk.diag_ident and not bk.summed
+            and not _eig_rescue_ok(bk)):
+        # A^*(lambda) is diagonal, so the slack's off part is the
+        # STATIC C pattern: mv = one single-pass cmul + elementwise
+        # diagonal (same trick as the ALM fast path)
+        W_d = bk.c_diag + bk.a_val_d * w_loc
+        ws = jnp.maximum(jnp.maximum(
+            jnp.max(jnp.abs(W_d), axis=1),
+            jnp.max(jnp.abs(bk.c_off), axis=1)), 1e-30)
+        Wdn = W_d / ws[:, None]
+        inv = 1.0 / ws
+
+        def mv(x, bk=bk, Wdn=Wdn, inv=inv):
+            off = pat.cmul(bk, x[:, :, None],
+                           include_diag=False)[:, :, 0]
+            return off * inv[:, None] + Wdn * x
+
+        return "lanczos", mv, ws
+    if bk.rowshard:
+        # slack row slabs [D, n_loc, n]; mv is the row-sharded
+        # dsymm — one logical cone, normalize by the global max
+        W = pat.build_w(bk, w_loc)
+        ws = jnp.maximum(jnp.max(jnp.abs(W)), 1e-30)
+        Wn = W / ws
+
+        def mv(x, bk=bk, Wn=Wn):
+            return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]
+
+        return "lanczos", mv, ws
+    W = pat.build_w(bk, w_loc)
+    # normalize the slack operator per block: |lambda| grows with
+    # rho, and an un-normalized f32 Lanczos sweep can overflow
+    # (eigenvalues rescale back exactly)
+    if bk.dense:
+        ws = jnp.maximum(jnp.max(jnp.abs(W), axis=(1, 2)), 1e-30)
+        Wn = W / ws[:, None, None]
+        if _eig_rescue_ok(bk):
+            # small dense slack: exact min eigenvalue by full eigh
+            # (a bounded Lanczos under-estimates |lam_min| on
+            # clustered small-block spectra; exact here is one
+            # cheap [B, n, n] eigh).  Measured: theta800 certifies
+            # at 48.5 s with this exact certificate (dinf 3.0e-6).
+            return "eigh", Wn, ws
+    elif bk.split:
+        W_d, W_o, W_oc = W
+        ws = jnp.maximum(jnp.maximum(
+            jnp.max(jnp.abs(W_d), axis=1),
+            jnp.max(jnp.abs(W_o), axis=1)), 1e-30)
+        if bk.summed:
+            # one logical cone: normalize by the global max so
+            # every shard rescales identically
+            ws = jnp.broadcast_to(jnp.max(ws), ws.shape)
+        Wn = (W_d / ws[:, None], W_o / ws[:, None],
+              W_oc / ws[:, None])
+    else:
+        ws = jnp.maximum(jnp.max(jnp.abs(W), axis=1), 1e-30)
+        if bk.summed:
+            ws = jnp.broadcast_to(jnp.max(ws), ws.shape)
+        Wn = W / ws[:, None]
+
+    if not bk.dense and _eig_rescue_ok(bk):
+        # small SPARSE-mode slack: same exact eigh as the dense
+        # rescue, on the densified normalized operator (round-2
+        # extension; the bounded Lanczos can under-report
+        # clustered-spectrum sparse blocks the same way)
+        return "eigh", pat.densify_w(bk, Wn), ws
+
+    def mv(x, bk=bk, Wn=Wn):
+        return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]
+
+    return "lanczos", mv, (ws[:1] if bk.summed else ws)
+
+
 @jax.jit
 def _dual_infeas_device(pd, dual, v0s):
     """Slack assembly + normalized batched Lanczos for every bucket +
@@ -1294,8 +1449,10 @@ def _dual_infeas_device(pd, dual, v0s):
 
     Reference: calculate_dual_infeasibility_solver + dual_infeasible
     (lorads_solver.c:1007-1037, lorads_sdp_conic.c:1286-1349; ARPACK
-    "SA", ncv=40, tol=1e-2 becomes a 36-step double-restart batched
-    Lanczos with on-device tridiagonal eigh).
+    "SA", ncv=40, tol=1e-2 becomes a 36-step adaptive-restart batched
+    Lanczos with on-device tridiagonal eigh).  Also returns each
+    Lanczos bucket's restart count (cost observability, -1 for exact
+    eigh buckets).
     """
 
     neg_l = -dual
@@ -1305,84 +1462,16 @@ def _dual_infeas_device(pd, dual, v0s):
     else:
         lp_part = jnp.zeros((), dual.dtype)
     lams = []
+    restarts = []
     for bk, v0 in zip(pd.buckets, v0s):
         w_loc = pat.gather_w(bk, neg_l)
-        if (bk.split and bk.diag_ident and not bk.summed
-                and not _eig_rescue_ok(bk)):
-            # A^*(lambda) is diagonal, so the slack's off part is the
-            # STATIC C pattern: mv = one single-pass cmul + elementwise
-            # diagonal (same trick as the ALM fast path)
-            W_d = bk.c_diag + bk.a_val_d * w_loc
-            ws = jnp.maximum(jnp.maximum(
-                jnp.max(jnp.abs(W_d), axis=1),
-                jnp.max(jnp.abs(bk.c_off), axis=1)), 1e-30)
-            Wdn = W_d / ws[:, None]
-            inv = 1.0 / ws
-
-            def mv(x, bk=bk, Wdn=Wdn, inv=inv):
-                off = pat.cmul(bk, x[:, :, None],
-                               include_diag=False)[:, :, 0]
-                return off * inv[:, None] + Wdn * x
-
-            lams.append(lanczos_min_eig_device(mv, v0) * ws)
-            continue
-        if bk.rowshard:
-            # slack row slabs [D, n_loc, n]; mv is the row-sharded
-            # dsymm — one logical cone, normalize by the global max
-            W = pat.build_w(bk, w_loc)
-            ws = jnp.maximum(jnp.max(jnp.abs(W)), 1e-30)
-            Wn = W / ws
-
-            def mv(x, bk=bk, Wn=Wn):
-                return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]
-
-            lams.append(lanczos_min_eig_device(mv, v0) * ws)
-            continue
-        W = pat.build_w(bk, w_loc)
-        # normalize the slack operator per block: |lambda| grows with
-        # rho, and an un-normalized f32 Lanczos sweep can overflow
-        # (eigenvalues rescale back exactly)
-        if bk.dense:
-            ws = jnp.maximum(jnp.max(jnp.abs(W), axis=(1, 2)), 1e-30)
-            Wn = W / ws[:, None, None]
-            if _eig_rescue_ok(bk):
-                # small dense slack: exact min eigenvalue by full eigh
-                # (a bounded Lanczos under-estimates |lam_min| on
-                # clustered small-block spectra; exact here is one
-                # cheap [B, n, n] eigh).  Measured: theta800 certifies
-                # at 48.5 s with this exact certificate (dinf 3.0e-6).
-                lam = _exact_min_eig(Wn)
-                lams.append(lam.astype(W.dtype) * ws)
-                continue
-        elif bk.split:
-            W_d, W_o, W_oc = W
-            ws = jnp.maximum(jnp.maximum(
-                jnp.max(jnp.abs(W_d), axis=1),
-                jnp.max(jnp.abs(W_o), axis=1)), 1e-30)
-            if bk.summed:
-                # one logical cone: normalize by the global max so
-                # every shard rescales identically
-                ws = jnp.broadcast_to(jnp.max(ws), ws.shape)
-            Wn = (W_d / ws[:, None], W_o / ws[:, None],
-                  W_oc / ws[:, None])
+        kind, op, ws_eff = _slack_operator(bk, w_loc)
+        if kind == "eigh":
+            lam = _exact_min_eig(op)
+            lams.append(lam.astype(dual.dtype) * ws_eff)
+            restarts.append(jnp.asarray(-1, jnp.int32))
         else:
-            ws = jnp.maximum(jnp.max(jnp.abs(W), axis=1), 1e-30)
-            if bk.summed:
-                ws = jnp.broadcast_to(jnp.max(ws), ws.shape)
-            Wn = W / ws[:, None]
-
-        if not bk.dense and _eig_rescue_ok(bk):
-            # small SPARSE-mode slack: same exact eigh as the dense
-            # rescue, on the densified normalized operator (round-2
-            # extension; the bounded Lanczos can under-report
-            # clustered-spectrum sparse blocks the same way)
-            lam = _exact_min_eig(pat.densify_w(bk, Wn))
-            lams.append(lam.astype(dual.dtype) * ws)
-            continue
-
-        def mv(x, bk=bk, Wn=Wn):
-            return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]
-
-        ws_eff = ws[:1] if bk.summed else ws
-        lams.append(lanczos_min_eig_device(mv, v0) * ws_eff)
-    return lp_part, tuple(lams)
+            lam, its = lanczos_min_eig_device(op, v0)
+            lams.append(lam * ws_eff)
+            restarts.append(its)
+    return lp_part, tuple(lams), tuple(restarts)

@@ -115,6 +115,15 @@ class LoradsParams:
     # re-measured after the shift).  Spares the expensive high-rho
     # ALM polish whose only purpose is driving dinf down.
     dual_repair: bool = True
+    # Direct dual refinement (extension, alg/dualrefine.py): when dinf
+    # fails its acceptance band after the initial two-phase solve, fit
+    # the dual to complementarity min ||(C - A^*(lambda)) R||_F^2 by
+    # CGNR (linear LS; ~one ALM-iteration cost per CG step, one
+    # dispatch) and keep the candidate only if the re-measured
+    # dinf/gap outcome improves.  Replaces the reference's level-2
+    # reopt grind (high-rho f64 ALM re-polish) when it succeeds; the
+    # reopt path remains as the fallback.  No-LP problems only.
+    dual_refine: bool = True
     # ADMM gap continuation (deviation, documented in DESIGN.md): the
     # reference ADMM exits on pinf alone (lorads_admm.c:110-118) and
     # concedes gap > phase2Tol to a full reopt round (objective

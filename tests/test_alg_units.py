@@ -215,7 +215,7 @@ def test_lanczos_adaptive_clustered_spectrum():
     v = v0
     for _ in range(2):
         lam_old, v, _ = _min_ritz(mv, v, 36)
-    lam_new = float(lanczos_min_eig_device(mv, v0)[0])
+    lam_new = float(lanczos_min_eig_device(mv, v0)[0][0])
     true = float(evals[0])
     assert float(lam_old[0]) > true / 2           # old: >2x optimistic
     assert abs(lam_new - true) <= 0.1 * abs(true)  # new: within 10%

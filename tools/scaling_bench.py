@@ -70,8 +70,11 @@ def alm_loop(pd, R, grad, hist, dual, constr_sum, rho, n_iter):
 
 def make_problem(mode: str):
     if mode == "dp":
-        # many same-shape blocks: the block axis shards
-        return generators.random_multiblock(n_blocks=32, dim=48, m=64,
+        # many same-shape blocks: the block axis shards.  Block dim is
+        # tunable (SCALE_DP_DIM): scaling efficiency depends on the
+        # per-device compute : collective-latency ratio.
+        dim = int(os.environ.get("SCALE_DP_DIM", "48"))
+        return generators.random_multiblock(n_blocks=32, dim=dim, m=64,
                                             density=0.15, seed=5)
     if mode == "sp":
         # one large sparse cone: the union pattern shards
@@ -120,6 +123,67 @@ def time_mode(mode: str, dev_counts, n_iter: int):
         # strong-scaling efficiency: speedup / ideal(=D)
         r["efficiency"] = r["speedup"] / r["devices"]
     return rows
+
+
+def pinned_probe(mode="dp", dev_counts=(1, 2), n_iter=24, repeats=2,
+                 extra_env=None):
+    """Strong scaling with CONSTANT RESOURCES PER DEVICE.
+
+    The in-process virtual-mesh probe time-shares every physical core
+    among all virtual devices, and its 1-device baseline already uses
+    every core through XLA:CPU intra-op threading — so on a shared
+    host, adding devices cannot show a speedup even when the sharded
+    program partitions compute perfectly.  This probe instead runs
+    each device count in its own subprocess pinned (taskset) to
+    exactly one physical core per device; the cross-config efficiency
+    rate(D) / (D * rate(1)) is then the honest virtual-mesh analogue
+    of per-chip scaling efficiency on real hardware.
+
+    Returns {n_devices: iters_per_s} (best of `repeats` runs per
+    config), or None if taskset/cores are unavailable.
+    """
+    import shutil
+    import subprocess
+    import sys
+
+    if shutil.which("taskset") is None:
+        return None
+    cores = os.cpu_count() or 1
+    counts = [d for d in dev_counts if d <= cores]
+    if len(counts) < 2:
+        return None
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rates = {}
+    for nd in counts:
+        env = dict(os.environ)
+        env.update({
+            "XLA_FLAGS": f"--xla_force_host_platform_device_count={nd}",
+            "JAX_PLATFORMS": "cpu",
+            "PALLAS_AXON_POOL_IPS": "",
+            "SCALE_MODES": mode,
+            "SCALE_DEVS": str(nd),
+            "SCALE_ITERS": str(n_iter),
+        })
+        env.update(extra_env or {})
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in [repo_root, env.get("PYTHONPATH", "")] if p)
+        cpu_list = ",".join(str(i) for i in range(nd))
+        for _ in range(repeats):
+            out = subprocess.run(
+                ["taskset", "-c", cpu_list, sys.executable,
+                 os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1200)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    r = json.loads(line)
+                    rates[nd] = max(rates.get(nd, 0.0), r["iters_per_s"])
+    return rates if len(rates) >= 2 else None
+
+
+def pinned_dp_probe(dev_counts=(1, 2), dim=96, n_iter=24, repeats=2):
+    """dp pinned probe at a tunable block dim (see pinned_probe)."""
+    return pinned_probe("dp", dev_counts, n_iter, repeats,
+                        extra_env={"SCALE_DP_DIM": str(dim)})
 
 
 def main():
