@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from lorads_tpu.alg import aop
 from lorads_tpu.alg.aop import ProblemData
-from lorads_tpu.alg.cg import cg_solve
+from lorads_tpu.alg.cg import cg_solve, cg_solve_ir
 from lorads_tpu.alg.state import FactorVec
 from lorads_tpu.ops import lp as lp_ops
 from lorads_tpu.ops import pattern as pat
@@ -63,7 +63,8 @@ class ADMMStats:
 
 def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
                         fixed_var, local_vals, constr_sum, dual, rho,
-                        cg_tol, cg_max, fcache=None, s_term=None):
+                        cg_tol, cg_max, fcache=None, s_term=None,
+                        mixed=False):
     """One side of the splitting for one bucket: solve for U with V
     fixed (LORADSUpdateSDPVarOne, lorads_admm.c:428-480).
 
@@ -115,20 +116,42 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
         fuse_adj = bk.split and bk.a_off_unique and not bk.summed
         fuse_dense = bk.dense and bk.a_single_dense
 
-        def op(x):
-            uv = pat.uvt_half_cached(bk, x, fixed_var, fcache)
-            if fuse_adj:
-                # A^*(A(.)) is slot-diagonal on the off pattern: skip
-                # the constraint-space round trip (pattern.a_adj_a)
-                Wop = pat.a_adj_a(bk, uv)
-            elif fuse_dense:
-                Wop = pat.a_adj_a_dense(bk, uv)
-            else:
-                vals = pat.cone_total(bk, pat.constr_vals(bk, uv))
-                Wop = pat.build_w(bk, vals, include_obj=False)
-            return x + pat.w_mul_cached(bk, Wop, fixed_var, fcache)
+        def make_op(bkx, fx, fcx):
+            def op(x):
+                uv = pat.uvt_half_cached(bkx, x, fx, fcx)
+                if fuse_adj:
+                    # A^*(A(.)) is slot-diagonal on the off pattern:
+                    # skip the constraint-space round trip
+                    Wop = pat.a_adj_a(bkx, uv)
+                elif fuse_dense:
+                    Wop = pat.a_adj_a_dense(bkx, uv)
+                else:
+                    vals = pat.cone_total(bkx, pat.constr_vals(bkx, uv))
+                    Wop = pat.build_w(bkx, vals, include_obj=False)
+                return x + pat.w_mul_cached(bkx, Wop, fx, fcx)
+            return op
 
-        new_var, iters = cg_solve(op, update_var, rhs, cg_tol, cg_max)
+        op = make_op(bk, fixed_var, fcache)
+        if mixed and update_var.dtype == jnp.float64:
+            # Mixed-precision CG (VERDICT r2 #1; deviation, default on
+            # via LoradsParams.admm_mixed_cg): the CG sweep runs f32
+            # on an f32 cast of the same operator data with f64
+            # residual accumulation / iterative refinement
+            # (cg.cg_solve_ir) — the ~12x f64 emulation cost applies
+            # to one matvec per refinement pass instead of every CG
+            # iteration.  Exit accuracy is unchanged: the stopping
+            # rule tests the TRUE f64 residual against the reference
+            # criterion.
+            f32 = jnp.float32
+            op_lo = make_op(
+                pat.cast_floats(bk), fixed_var.astype(f32),
+                None if fcache is None
+                else tuple(a.astype(f32) for a in fcache))
+            new_var, iters = cg_solve_ir(op, op_lo, update_var, rhs,
+                                         cg_tol, cg_max)
+        else:
+            new_var, iters = cg_solve(op, update_var, rhs, cg_tol,
+                                      cg_max)
     new_cache = pat.gather_cache(bk, new_var)
     if new_cache is None:
         uv = pat.uvt(bk, new_var, fixed_var)
@@ -171,7 +194,7 @@ def _update_lp_var(pd: ProblemData, upd, fixed, lp_contrib, constr_sum,
 
 def _update_sdp_var_bucket_gs(pd: ProblemData, bk: pat.BucketData,
                               upd, fixed, local_vals, constr_sum, dual,
-                              rho, cg_tol, cg_max, s=None):
+                              rho, cg_tol, cg_max, s=None, mixed=False):
     """Sequential Gauss-Seidel over the blocks of one bucket via
     lax.scan — exact reference sweep semantics
     (lorads_alg_common.c:190-214) at the cost of serializing the
@@ -183,7 +206,7 @@ def _update_sdp_var_bucket_gs(pd: ProblemData, bk: pat.BucketData,
         u1, loc1, csum1, it, _ = _update_sdp_var_one(
             pd, bk1, u_b[None], v_b[None], loc_b[None], csum, dual,
             rho, cg_tol, cg_max,
-            s_term=s_b[None] if s is not None else None)
+            s_term=s_b[None] if s is not None else None, mixed=mixed)
         return csum1, (u1[0], loc1[0], it)
 
     s_arr = s if s is not None else jnp.zeros_like(upd)
@@ -195,7 +218,8 @@ def _update_sdp_var_bucket_gs(pd: ProblemData, bk: pat.BucketData,
 def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
                     locals_: Tuple, lp_contrib, constr_sum, dual, rho,
                     cg_tol, cg_max, jacobi=False,
-                    u_caches=None, v_caches=None, S: FactorVec = None):
+                    u_caches=None, v_caches=None, S: FactorVec = None,
+                    mixed=False):
     """One sweep over buckets (U then V each), then LP.
 
     Reference: LORADSUpdateSDPVar / LORADSUpdateSDPLPVar
@@ -227,19 +251,19 @@ def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
             u_new, loc, constr_sum, it1, uc = _update_sdp_var_one(
                 pd, bk, u_cones[j], v_cones[j], locals_[j], constr_sum,
                 dual, rho, cg_tol, cg_max, fcache=v_caches[j],
-                s_term=s_j)
+                s_term=s_j, mixed=mixed)
             v_new, loc, constr_sum, it2, vc = _update_sdp_var_one(
                 pd, bk, v_cones[j], u_new, loc, constr_sum,
                 dual, rho, cg_tol, cg_max, fcache=uc,
-                s_term=(-s_j if s_j is not None else None))
+                s_term=(-s_j if s_j is not None else None), mixed=mixed)
         else:
             u_new, loc, constr_sum, it1, uc = _update_sdp_var_bucket_gs(
                 pd, bk, u_cones[j], v_cones[j], locals_[j], constr_sum,
-                dual, rho, cg_tol, cg_max, s=s_j)
+                dual, rho, cg_tol, cg_max, s=s_j, mixed=mixed)
             v_new, loc, constr_sum, it2, vc = _update_sdp_var_bucket_gs(
                 pd, bk, v_cones[j], u_new, loc, constr_sum,
                 dual, rho, cg_tol, cg_max,
-                s=(-s_j if s_j is not None else None))
+                s=(-s_j if s_j is not None else None), mixed=mixed)
         u_cones[j], v_cones[j] = u_new, v_new
         u_caches[j], v_caches[j] = uc, vc
         locals_[j] = loc
@@ -322,12 +346,13 @@ def make_admm_chunk(params, reopt: bool, bucket_jacobi=(),
         params.phase1_tol, params.rho_celling_admm,
         jacobi,
         getattr(params, "dual_uv", False), bool(reopt),
-        bool(gap_stop))
+        bool(gap_stop), bool(getattr(params, "admm_mixed_cg", True)))
 
 
 @functools.lru_cache(maxsize=None)
 def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
-                     jacobi, dual_uv, reopt, gap_stop=False):
+                     jacobi, dual_uv, reopt, gap_stop=False,
+                     mixed_cg=True):
     cg_tol_mult = 1e-4 if reopt else 1e-2
     bad_pd_limit = 200 if reopt else 800
     escape_pow = float(rho_factor ** round(
@@ -339,6 +364,8 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
               n_steps, best_gap0, since_best0, best_pinf0=None,
               since_pinf0=None, S=None):
         S_used = S if dual_uv else None
+        # trace-time: the IR-CG mixed path only exists for f64 chunks
+        mixed = mixed_cg and pd.rhs.dtype == jnp.float64
 
         def pinf_l1_conv(pinf_l1, pinf_inf, gap):
             conv = pinf_l1 <= tol2 if reopt else pinf_inf <= tol2
@@ -354,8 +381,10 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
         # returns RUNNING and the host re-dispatches — bounded device
         # time, zero effect on chunks whose CG behaves (typical
         # 3-30 iters/solve never comes close).  f64 matvecs are ~12x
-        # f32 (software emulation), so its budget is tighter.
-        cg_budget = 24000 if pd.rhs.dtype == jnp.float32 else 4000
+        # f32 (software emulation), so its budget is tighter — unless
+        # the mixed IR-CG runs the sweeps at f32 anyway.
+        cg_budget = (24000 if (pd.rhs.dtype == jnp.float32 or mixed)
+                     else 4000)
 
         def cond(c):
             st = c["status"]
@@ -370,7 +399,7 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
                     pd, c["U"], c["V"], c["locals"], c["lp_contrib"],
                     c["constr_sum"], c["dual"], c["rho"], cg_tol, 800,
                     jacobi=jacobi, u_caches=c["u_caches"],
-                    v_caches=c["v_caches"], S=S_used)
+                    v_caches=c["v_caches"], S=S_used, mixed=mixed)
             pobj, dobj, pinf, gap, locals__, lpc, csum = _obj_dimacs_xbar(
                 pd, U_, V_, c["dual"], scale, ucs, vcs)
             pinf_inf = pinf * (1.0 + pd.b_nrm1) / (1.0 + pd.b_nrm_inf)

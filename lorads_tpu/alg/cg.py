@@ -89,3 +89,64 @@ def cg_solve(op: Callable[[jnp.ndarray], jnp.ndarray], x0: jnp.ndarray,
     out = jax.lax.while_loop(cond, body, carry)
     x, k = out[0], out[5]
     return x, k
+
+
+def cg_solve_ir(op_hi: Callable[[jnp.ndarray], jnp.ndarray],
+                op_lo: Callable[[jnp.ndarray], jnp.ndarray],
+                x0: jnp.ndarray, b: jnp.ndarray, tol, max_iter,
+                inner_tol: float = 1e-5,
+                max_passes: int = 6) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mixed-precision CG by iterative refinement: inner CG sweeps at
+    low precision (op_lo, float32) with true residuals accumulated at
+    high precision (op_hi, the ambient float64 operator).
+
+    Each refinement pass solves op_lo(d) ~= r for the current f64
+    residual r (relative reduction ``inner_tol``, bounded by the inner
+    CG's own no-progress stop), applies x += d, and recomputes
+    r = b - op_hi(x) exactly.  The stopping rule is the reference's
+    ||r||_2 / ||b||_1 < tol on the TRUE f64 residual — identical
+    accuracy semantics to an all-f64 solve, at one f64 matvec per pass
+    instead of one per CG iteration (f64 emulation costs ~12x f32 per
+    matvec on TPU, DESIGN.md #19c).  Standard IR convergence applies:
+    the residual contracts per pass until kappa(N) * eps_f32 ~ 1, where
+    an all-f64 CG also stops progressing in comparable budgets; a pass
+    that fails to halve the residual marks the block done at its floor
+    (mirrors cg_solve's no-progress stop).
+
+    Reference semantics target: CGSolve (lorads_cgs.c:81-240) run at
+    native f64.  Returns (x, total inner iterations).
+    """
+    b_nrm1 = jnp.sum(jnp.abs(b), axis=(1, 2))
+    safe_b1 = jnp.where(b_nrm1 == 0, 1.0, b_nrm1)
+
+    r0 = b - op_hi(x0)
+    res0 = jnp.sqrt(_bdot(r0, r0))
+    done0 = (res0 / safe_b1 < tol) | jnp.isnan(res0)
+
+    def cond(c):
+        done, passes = c[3], c[4]
+        return (~jnp.all(done)) & (passes < max_passes)
+
+    def body(c):
+        x, r, res, done, passes, total = c
+        # inner f32 solve of op_lo(d) = r from zero: cg_solve's exit is
+        # ||res|| / ||r||_1 < inner_tol (a RELATIVE reduction because r
+        # is the inner b), with its no-progress stop bounding work when
+        # the f32 floor is above inner_tol
+        d32, k = cg_solve(op_lo, jnp.zeros_like(r, jnp.float32),
+                          r.astype(jnp.float32), inner_tol, max_iter)
+        act = (~done).astype(x.dtype)[:, None, None]
+        x_new = x + act * d32.astype(x.dtype)
+        r_new = b - op_hi(x_new)
+        res_new = jnp.sqrt(_bdot(r_new, r_new))
+        nan = jnp.isnan(res_new)
+        # a pass that failed to halve the residual has hit the IR
+        # contraction floor for that block — stop refining it
+        done_new = done | (res_new / safe_b1 < tol) | nan \
+            | (res_new > 0.5 * res)
+        return (x_new, r_new, res_new, done_new, passes + 1, total + k)
+
+    carry = (x0, r0, res0, done0, jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.int32))
+    x, _, _, _, _, total = jax.lax.while_loop(cond, body, carry)
+    return x, total

@@ -128,7 +128,7 @@ min_ritz = partial(jax.jit, static_argnames=("matvec", "k"))(_min_ritz)
 
 def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
                            k: int = 36, tol: float = 1e-2,
-                           maxit: int = 600):
+                           maxit: int = 600, matvec_hi: Callable = None):
     """Fully on-device ADAPTIVE variant: sweeps + batched k x k
     tridiagonal eigh + Ritz restarts inside a while_loop, no host
     round-trips.  For use INSIDE a jitted caller (no closure-keyed jit
@@ -170,6 +170,16 @@ def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
       clustered spectrum (q ~ 0.6+) settled while it is still 2-3x
       off (measured on the theta profile).  Needs two steps, so it
       can't fire before restart 3.
+
+    ``matvec_hi``: optional higher-precision operator (the SAME
+    normalized slack at the solve's ambient dtype).  When given, the
+    restart loop runs entirely at v0's (lower) precision — eigenVECTORS
+    only need f32 accuracy — and the returned eigenvalue is the final
+    Ritz vector's Rayleigh quotient at matvec_hi's precision, which
+    SQUARES the low-precision angle error (~1e-4 -> ~1e-8 relative;
+    same refinement _exact_min_eig uses for the eigh rescue).  On an
+    f64-escalated solve this removes every ~12x-emulated f64 sweep
+    matvec from the certificate: one f64 matvec total per bucket.
     """
     B, n = v0.shape
     k = min(k, n)
@@ -200,7 +210,17 @@ def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
     big = jnp.full((B,), jnp.finfo(dt).max, dt)
     init = (jnp.zeros((), jnp.int32), jnp.zeros((B,), dt), v0, big,
             -big, big)
-    it, lam, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    it, lam, v, _, _, _ = jax.lax.while_loop(cond, body, init)
+    if matvec_hi is not None:
+        # Rayleigh-quotient refinement at the hi dtype.  The loop's
+        # carry v is the last-computed Ritz vector (unit norm up to
+        # rounding); a broken-down block can carry v ~ 0 — keep its
+        # sweep value there (breakdown = exact invariant subspace).
+        vh = v.astype(jnp.float64)
+        den = jnp.sum(vh * vh, axis=-1)
+        num = jnp.sum(vh * matvec_hi(vh), axis=-1)
+        lam = jnp.where(den > 1e-8, num / jnp.maximum(den, 1e-30),
+                        lam.astype(jnp.float64))
     # restart count rides along for observability (certificate cost
     # attribution, VERDICT r2 #5); callers unpack (lam, restarts)
     return lam, it

@@ -124,6 +124,16 @@ class LoradsParams:
     # reopt grind (high-rho f64 ALM re-polish) when it succeeds; the
     # reopt path remains as the fallback.  No-LP problems only.
     dual_refine: bool = True
+    # Mixed-precision ADMM CG (deviation; VERDICT r2 #1): on
+    # f64-escalated solves the CG sweeps run at f32 on an f32 cast of
+    # the same operator with f64 residual accumulation / iterative
+    # refinement (cg.cg_solve_ir) — the exit still tests the TRUE f64
+    # residual against the reference rule (lorads_cgs.c:191-194), so
+    # solution accuracy is unchanged while the ~12x-emulated f64 cost
+    # applies to one matvec per refinement pass instead of every CG
+    # iteration.  False = every CG matvec at the ambient dtype
+    # (exact reference arithmetic).
+    admm_mixed_cg: bool = True
     # ADMM gap continuation (deviation, documented in DESIGN.md): the
     # reference ADMM exits on pinf alone (lorads_admm.c:110-118) and
     # concedes gap > phase2Tol to a full reopt round (objective

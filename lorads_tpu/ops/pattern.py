@@ -745,6 +745,19 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
     )
 
 
+def cast_floats(tree, dtype=jnp.float32):
+    """Cast every floating leaf of a pytree (e.g. a BucketData) to
+    ``dtype``, leaving index/int arrays untouched.  Used by the
+    mixed-precision paths (f32 Lanczos certificate sweeps, the ADMM
+    iterative-refinement CG) to derive a low-precision view of the
+    problem data on device; XLA dead-code-eliminates casts of leaves
+    the consuming kernel never reads."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        and x.dtype != dtype else x, tree)
+
+
 # ---------------------------------------------------------------------------
 # Kernels.  All take the bucket's factor matrices U, V: [B, n, r]
 # ([1, n, r] replicated for summed buckets).

@@ -153,6 +153,38 @@ def test_batched_cg_solves_spd_systems():
                                    rtol=1e-6, atol=1e-8)
 
 
+def test_cg_ir_matches_f64_cg_to_tolerance():
+    """Mixed-precision iterative-refinement CG (cg_solve_ir): f32
+    inner sweeps + f64 residual refinement must reach the SAME f64
+    stopping criterion ||r||_2/||b||_1 < tol as the all-f64 solve —
+    far below what a pure-f32 CG can reach."""
+    rng = np.random.default_rng(7)
+    B, n, r = 2, 8, 3
+    mats = []
+    for _ in range(B):
+        A = rng.standard_normal((n * r, n * r))
+        mats.append(A @ A.T + 3 * np.eye(n * r))
+    A64 = jnp.asarray(np.stack(mats))
+    A32 = A64.astype(jnp.float32)
+    b = jnp.asarray(rng.standard_normal((B, n, r)))
+
+    def mk(M):
+        def op(x):
+            xf = x.reshape(B, n * r)
+            return jnp.einsum("bij,bj->bi", M, xf).reshape(B, n, r)
+        return op
+
+    tol = 1e-11
+    x, iters = cg_mod.cg_solve_ir(mk(A64), mk(A32),
+                                  jnp.zeros((B, n, r)), b, tol, 500)
+    res = np.asarray(mk(A64)(x) - b)
+    for i in range(B):
+        rel = np.linalg.norm(res[i]) / np.abs(np.asarray(b[i])).sum()
+        assert rel < tol
+    # and it genuinely used the f32 path (some inner iterations ran)
+    assert int(iters) > 0
+
+
 def test_cg_warm_start_converges_immediately():
     rng = np.random.default_rng(3)
     B, n, r = 1, 4, 2
@@ -219,6 +251,33 @@ def test_lanczos_adaptive_clustered_spectrum():
     true = float(evals[0])
     assert float(lam_old[0]) > true / 2           # old: >2x optimistic
     assert abs(lam_new - true) <= 0.1 * abs(true)  # new: within 10%
+
+
+def test_lanczos_f32_sweep_f64_rayleigh_refinement():
+    """The tiered certificate (f64-escalated solves): the restart loop
+    runs at f32 with the eigenvalue refined by one f64 Rayleigh
+    quotient (matvec_hi).  The refined value must match the true f64
+    lambda_min far tighter than the raw f32 sweep value — the squared
+    angle-error property the certificate relies on."""
+    from lorads_tpu.alg.lanczos import lanczos_min_eig_device
+
+    rng = np.random.default_rng(11)
+    n = 300
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    evals = np.sort(np.concatenate([[-3.7e-4],
+                                    rng.uniform(1e-3, 1.0, n - 1)]))
+    A = Q @ np.diag(evals) @ Q.T
+    A64 = jnp.asarray(A)                      # x64 on (conftest)
+    A32 = A64.astype(jnp.float32)
+
+    mv_hi = lambda x: jnp.einsum("bij,bj->bi", A64[None], x)
+    mv_lo = lambda x: jnp.einsum("bij,bj->bi", A32[None], x)
+    v0 = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+
+    lam, _ = lanczos_min_eig_device(mv_lo, v0, matvec_hi=mv_hi)
+    lam = float(lam[0])
+    assert lam >= evals[0] - 1e-12            # Rayleigh quotient bound
+    assert abs(lam - evals[0]) <= 2e-2 * abs(evals[0])
 
 
 def test_densify_w_matches_dense_oracle():
