@@ -208,7 +208,7 @@ class LoradsSolver:
                 from lorads_tpu.parallel.row_sharded import (
                     build_rowshard_bucket)
                 bk = build_rowshard_bucket(bp.plans[0], self.m, nd,
-                                           self.dtype)
+                                           self.dtype, mesh=self.mesh)
             if (sp or tp) and self.scale_obj_his != 1.0:
                 # the shards are rebuilt from the RAW plan: re-apply
                 # any reopt objective scaling (objScale_dualvar)

@@ -89,7 +89,8 @@ def batched_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
                         num_segments: int,
                         sorted_ids: bool = False,
                         bounds=None,
-                        f32_bounds: bool = False) -> jnp.ndarray:
+                        f32_bounds: bool = False,
+                        shard_batch: bool = False) -> jnp.ndarray:
     """segment_sum along axis 1 of [B, N, ...] with ids [B, N].
 
     The block-offset trick keeps global sortedness whenever each
@@ -102,6 +103,18 @@ def batched_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
     """
     if _use_bounds(data, bounds, f32_ok=f32_bounds):
         return bounded_segment_sum(data, bounds)
+    if shard_batch:
+        # keep the batch axis a REAL dimension (vmapped per-block
+        # scatter) instead of flattening it into the scatter space:
+        # when axis 0 is mesh-sharded (rowshard/summed buckets), the
+        # flattened scatter's ids cross shard boundaries and GSPMD
+        # replicates the whole scatter (measured: an all-gather of the
+        # ids + an all-reduce of the updates per iteration); the
+        # vmapped form partitions trivially along axis 0.
+        return jax.vmap(
+            lambda d, i: jax.ops.segment_sum(
+                d, i, num_segments=num_segments,
+                indices_are_sorted=sorted_ids))(data, ids)
     B = data.shape[0]
     offset = (jnp.arange(B, dtype=ids.dtype) * num_segments)[:, None]
     flat_ids = (ids + offset).reshape(-1)
@@ -249,6 +262,16 @@ class BucketData:
     rowshard: bool = dataclasses.field(default=False,
                                        metadata=dict(static=True))
     n_loc: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Mesh the shard axis lives on (rowshard/summed buckets placed by
+    # solver._maybe_shard).  Static aux data: kernels use it to PIN
+    # the intended placement via with_sharding_constraint — factors
+    # replicated, slabs/partials on the "blk" axis.  Without the pins
+    # GSPMD reshards the ALM loop carry row-wise and re-gathers the
+    # [n, r] factors at every slab einsum (measured: 27 all-reduces +
+    # 14 all-gathers per inner iteration at D=2; the intended pattern
+    # is ~4 + 2).  None = unsharded (constraints are no-ops).
+    mesh: object = dataclasses.field(default=None,
+                                     metadata=dict(static=True))
 
     # ------------------------------------------------------------------
     # Diag/offdiag split (sparse mode only, split=True).
@@ -778,6 +801,18 @@ def _reduce(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
     return X
 
 
+def _pin(bk: BucketData, x, *spec):
+    """Pin an intermediate's sharding on the bucket's mesh (no-op for
+    unsharded buckets).  ``spec`` are PartitionSpec axes: _pin(bk, x)
+    pins replicated; _pin(bk, x, "blk") pins the leading axis to the
+    mesh.  See BucketData.mesh for why the pins exist."""
+    if bk.mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(bk.mesh, PartitionSpec(*spec)))
+
+
 def _slab(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
     """Row slabs of a replicated [1, n, r] factor -> [D, n_loc, r].
     Under mesh placement each device takes only its own slice."""
@@ -815,12 +850,15 @@ def uvt(bk: BucketData, U: jnp.ndarray, V: jnp.ndarray):
         # row-sharded dsyr2k — each shard computes [n_loc, n] on the
         # MXU from its factor slab against the replicated other side
         hi = jax.lax.Precision.HIGHEST
-        Us, Vs = _slab(bk, U), _slab(bk, V)
-        return 0.5 * (
+        U, V = _pin(bk, U), _pin(bk, V)     # factors replicated
+        Us, Vs = _pin(bk, _slab(bk, U), "blk"), _pin(bk, _slab(bk, V),
+                                                     "blk")
+        return _pin(bk, 0.5 * (
             jnp.einsum("dkr,nr->dkn", Us, V[0],
                        preferred_element_type=U.dtype, precision=hi)
             + jnp.einsum("dkr,nr->dkn", Vs, U[0],
-                         preferred_element_type=U.dtype, precision=hi))
+                         preferred_element_type=U.dtype, precision=hi)),
+            "blk")
     U, V = _expand(bk, U), _expand(bk, V)
     if bk.dense:
         # HIGHEST: keep full f32 accumulate on the MXU (TPU f32 matmul
@@ -894,7 +932,8 @@ def constr_vals(bk: BucketData, uvt_val) -> jnp.ndarray:
         contrib = bk.a_val_inner * _at_entries(bk, uvt_val)
         return batched_segment_sum(contrib, bk.a_con_loc, bk.m_loc,
                                    sorted_ids=bk.a_con_sorted,
-                                   bounds=bk.bnd_a_con)
+                                   bounds=bk.bnd_a_con,
+                                   shard_batch=bk.mesh is not None)
     d, o = uvt_val
     if bk.diag_ident:
         vals = bk.a_val_d * d            # constraint i == diag entry i
@@ -937,11 +976,11 @@ def scatter_constr(bk: BucketData, vals: jnp.ndarray) -> jnp.ndarray:
         return vals[0]
     if _use_bounds(vals, bk.bnd_glob):
         out = bounded_segment_sum(vals, bk.bnd_glob)  # [B, m_glob+1]
-        return jnp.sum(out, axis=0)[: bk.m_glob]
+        return _pin(bk, jnp.sum(out, axis=0)[: bk.m_glob])
     flat = jax.ops.segment_sum(vals.reshape(-1), bk.glob_idx.reshape(-1),
                                num_segments=bk.m_glob + 1,
                                indices_are_sorted=bk.glob_sorted)
-    return flat[: bk.m_glob]
+    return _pin(bk, flat[: bk.m_glob])
 
 
 def gather_w(bk: BucketData, w: jnp.ndarray) -> jnp.ndarray:
@@ -970,20 +1009,22 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
                                  mode="clip")
         val = bk.a_val_s * wa
         nn = bk.n_loc * bk.n
+        sb = bk.mesh is not None
         if (CUMSUM_F64 and val.dtype == jnp.float64
                 and bk.a_lin2_exact):
             # slot-unique entries: the emulated f64 scatter runs as
             # two EXACT f32 planes (Dekker split, error <= 2^-48)
             hi = val.astype(jnp.float32)
             lo = (val - hi).astype(jnp.float32)
-            W = (batched_segment_sum(hi, bk.a_pos_s, nn,
-                                     sorted_ids=True).astype(val.dtype)
+            W = (batched_segment_sum(hi, bk.a_pos_s, nn, sorted_ids=True,
+                                     shard_batch=sb).astype(val.dtype)
                  + batched_segment_sum(lo, bk.a_pos_s, nn,
-                                       sorted_ids=True).astype(val.dtype))
+                                       sorted_ids=True,
+                                       shard_batch=sb).astype(val.dtype))
         else:
             W = batched_segment_sum(val, bk.a_pos_s, nn,
-                                    sorted_ids=True)
-        W = W.reshape(-1, bk.n_loc, bk.n)
+                                    sorted_ids=True, shard_batch=sb)
+        W = _pin(bk, W.reshape(-1, bk.n_loc, bk.n), "blk")
         return bk.c_full + W if include_obj else W
     if bk.dense:
         wa = jnp.take_along_axis(w_loc, bk.a_con_loc, axis=1)
@@ -1051,10 +1092,11 @@ def w_mul(bk: BucketData, W, X: jnp.ndarray) -> jnp.ndarray:
     if bk.rowshard:
         # row-sharded dsymm: disjoint grad row slabs, concatenated
         # back to the replicated [1, n, r] (all_gather over the mesh)
-        out = jnp.einsum("dkn,nr->dkr", W, X[0],
+        X = _pin(bk, X)
+        out = jnp.einsum("dkn,nr->dkr", _pin(bk, W, "blk"), X[0],
                          preferred_element_type=X.dtype,
                          precision=jax.lax.Precision.HIGHEST)
-        return _unslab(bk, out)
+        return _pin(bk, _unslab(bk, out))
     X = _expand(bk, X)
     if bk.dense:
         return jnp.einsum("bnm,bmr->bnr", W, X,

@@ -55,7 +55,7 @@ def _full_sym_entries(plan: BlockPlan):
 
 
 def build_rowshard_bucket(plan: BlockPlan, m_glob: int, n_devices: int,
-                          dtype) -> pat.BucketData:
+                          dtype, mesh: Mesh = None) -> pat.BucketData:
     """Build the integrated row-slab (tp) bucket for one dense cone.
 
     Returns a BucketData with ``rowshard=True`` whose leading axis is
@@ -119,7 +119,8 @@ def build_rowshard_bucket(plan: BlockPlan, m_glob: int, n_devices: int,
     zi = np.zeros((D, 1), dtype=np.int32)
     glob_idx = np.tile(plan.loc2glob, (D, 1)).astype(np.int32)
     return pat.BucketData(
-        dense=True, rowshard=True, n=n, n_loc=n_loc, K=n_loc * n,
+        dense=True, rowshard=True, mesh=mesh, n=n, n_loc=n_loc,
+        K=n_loc * n,
         nnz_a=nnz_loc, m_loc=plan.m_loc, B=D, m_glob=m_glob,
         a_con_loc=i32(a_con), a_val_inner=f(a_val),
         glob_idx=i32(glob_idx),
