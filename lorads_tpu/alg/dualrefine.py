@@ -76,16 +76,28 @@ def _fv_norm2(fv):
 
 @partial(jax.jit, static_argnames=("n_iter",))
 def dual_ls_refine(pd, R, dual, n_iter: int, rel_tol=1e-4):
-    """CGNR for (LS) from the current dual.
+    """CGNR for (LS) from the current dual, restricted to the
+    dual-objective level set {d : b^T d = 0}.
 
     Solves the normal equations (M^T M) d = M^T r0 with
-    r0 = S(dual) R, then returns (dual + d, ls_norm0, ls_norm1):
-    the refined dual and the LS objective sqrt before/after (device
-    scalars, for logging/accept decisions).
+    r0 = S(dual) R over the b-orthogonal subspace, then returns
+    (step d, ls_norm0, ls_norm1): the refinement DIRECTION and the LS
+    objective sqrt before/after (device scalars, for logging/accept
+    decisions).  The caller forms candidates dual + t d.
 
-    Runs at the ambient dtype; the caller re-certifies the candidate
-    with the standard Lanczos/eigh certificate, so CGNR accuracy only
-    bounds how much dinf improvement is available, never correctness.
+    The b-orthogonality is load-bearing: dObj = b^T lambda is exactly
+    unchanged by any step in the subspace, so the refinement can only
+    improve (or leave) the gap — never trade it away.  Measured
+    without it (theta n=300): the unconstrained LS minimizer reached
+    dinf 0 at a dObj 70 below pObj (gap 0.19) because ||S R||_F only
+    controls S on R's column space and the minimum-norm step still
+    walked the free b-component — the candidate was useless despite
+    exact complementarity.
+
+    Runs at the ambient dtype; the caller re-certifies every
+    candidate with the standard Lanczos/eigh certificate, so CGNR
+    accuracy only bounds how much dinf improvement is available,
+    never correctness.
     """
     R = _weight_by_spectrum(R)
     zero_w = jnp.zeros_like(dual)
@@ -97,9 +109,16 @@ def dual_ls_refine(pd, R, dual, n_iter: int, rel_tol=1e-4):
     def Mt(Y):                                   # A(sym(Y R^T)) in R^m
         return aop.auv(pd, Y, R)[1]
 
+    bb = jnp.vdot(pd.rhs, pd.rhs)
+
+    def proj(z):                                 # onto {b^T z = 0}
+        return jnp.where(bb > 0,
+                         z - (jnp.vdot(pd.rhs, z) / jnp.maximum(
+                             bb, 1e-30)) * pd.rhs, z)
+
     r0 = _sub(CR, M(dual))                       # S(dual) R
     ls0 = _fv_norm2(r0)
-    b = Mt(r0)
+    b = proj(Mt(r0))
 
     x = jnp.zeros_like(dual)
     r = b
@@ -113,7 +132,7 @@ def dual_ls_refine(pd, R, dual, n_iter: int, rel_tol=1e-4):
 
     def body(c):
         it, x, r, p, rs = c
-        Ap = Mt(M(p))
+        Ap = proj(Mt(M(p)))
         denom = jnp.vdot(p, Ap)
         # a non-positive curvature direction means numerical
         # breakdown of the PSD normal operator at this precision:
@@ -130,6 +149,5 @@ def dual_ls_refine(pd, R, dual, n_iter: int, rel_tol=1e-4):
 
     _, x, _, _, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), x, r, p, rs0))
-    refined = dual + x
-    ls1 = _fv_norm2(_sub(CR, M(refined)))
-    return refined, jnp.sqrt(ls0), jnp.sqrt(ls1)
+    ls1 = _fv_norm2(_sub(CR, M(dual + x)))
+    return x, jnp.sqrt(ls0), jnp.sqrt(ls1)

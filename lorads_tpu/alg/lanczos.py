@@ -128,7 +128,8 @@ min_ritz = partial(jax.jit, static_argnames=("matvec", "k"))(_min_ritz)
 
 def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
                            k: int = 36, tol: float = 1e-2,
-                           maxit: int = 600, matvec_hi: Callable = None):
+                           maxit: int = 600, matvec_hi: Callable = None,
+                           return_vec: bool = False):
     """Fully on-device ADAPTIVE variant: sweeps + batched k x k
     tridiagonal eigh + Ritz restarts inside a while_loop, no host
     round-trips.  For use INSIDE a jitted caller (no closure-keyed jit
@@ -222,5 +223,8 @@ def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
         lam = jnp.where(den > 1e-8, num / jnp.maximum(den, 1e-30),
                         lam.astype(jnp.float64))
     # restart count rides along for observability (certificate cost
-    # attribution, VERDICT r2 #5); callers unpack (lam, restarts)
+    # attribution, VERDICT r2 #5); callers unpack (lam, restarts[, v])
+    if return_vec:
+        nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        return lam, it, v / jnp.maximum(nrm, 1e-30)
     return lam, it

@@ -839,12 +839,16 @@ class LoradsSolver:
             v0 *= (np.arange(bk.n)[None, :]
                    < np.asarray(bp.dims)[:b_eff, None])
             v0s.append(jnp.asarray(v0, self.dtype))
-        lp_part, lams, restarts = _dual_infeas_device(self.pd, self.dual,
-                                                      tuple(v0s))
+        lp_part, lams, restarts, vecs, lams_k = _dual_infeas_device(
+            self.pd, self.dual, tuple(v0s))
         lp_part, lams, restarts = jax.device_get((lp_part, lams, restarts))
         # per-bucket Lanczos restart counts (-1 = exact eigh): cost
         # observability for the certificate (VERDICT r2 #5)
         self.last_cert_restarts = [int(r) for r in restarts]
+        # per-bucket smallest eigenpairs ([B, kv, n] device arrays +
+        # [B, kv] values), for the spectral dual repair
+        self.last_cert_vecs = vecs
+        self.last_cert_lams_k = lams_k
         out = []
         for lam in lams:
             lam = np.asarray(lam)
@@ -882,7 +886,7 @@ class LoradsSolver:
         self._ident_dirs = dirs
         return dirs
 
-    def dual_infeasibility(self, stats=None) -> float:
+    def dual_infeasibility(self, stats=None, repair=None) -> float:
         """calculate_dual_infeasibility_solver (lorads_solver.c:1007-1037).
 
         One jitted dispatch: slack assembly, per-block operator
@@ -897,7 +901,7 @@ class LoradsSolver:
         feasible dual point — all reported numbers stay honest).
         """
         lp_part, lams = self._dual_infeas_pass()
-        if self.params.dual_repair:
+        if self.params.dual_repair if repair is None else repair:
             delta = self._repair_plan(lp_part, lams)
             if delta is not None:
                 self.dual = self.dual + jnp.asarray(delta, self.dtype)
@@ -920,6 +924,224 @@ class LoradsSolver:
         dinf /= (self.pd.c_nrm1 + 1.0)
         return dinf
 
+    def _try_spectral_repair(self, admm_stats) -> bool:
+        """Spectral-bundle dual repair (VERDICT r2 #2; extension, no
+        reference counterpart): shift the dual along the least-squares
+        preimage of the slack's offending eigendirections.
+
+        Complementarity refinement (dualrefine.py) is blind to a
+        negative slack direction v orthogonal to range(R) — at
+        near-optimum range(X) spans null(S), so the binding direction
+        is EXACTLY the one ||S R||_F cannot see (measured on theta
+        n=300: CGNR left dinf at 7.5e-4).  This repair works on the
+        spectrum directly.  Per round:
+
+        * certificate pass -> per-block min eigenpair (lam, v) of
+          S = C - A^*(lambda);
+        * for each failing block, one rank-1 kernel dispatch gives
+          c_v = <C, vv^T> and g = A(vv^T), so the Rayleigh quotient
+          at ANY dual is the affine function c_v - g . lambda — every
+          collected direction joins a persistent bundle that is
+          re-evaluated on host for free;
+        * a min-norm dual step with b^T dlam = 0 (dObj/gap exactly
+          preserved) moves every bundled Rayleigh quotient to a small
+          positive target (0.25 |lam| overshoot: Ritz values
+          under-estimate |lam_min|), solved as a tiny k x k
+          least-squares system.
+
+        Rounds stop when the re-measured dinf passes its band, fails
+        to improve, or the round budget (8) is spent; the best
+        certified dual is kept only if it passes.  The level-2 reopt
+        grind remains the fallback.  No-LP problems only (a dual move
+        changes LP column slacks).
+        """
+        p = self.params
+        band = p.phase2_tol if p.high_acc_mode else 5 * p.phase2_tol
+        t0 = time.time()
+        old_dual = self.dual
+        norm = self.scale_obj_his * (self.pd.c_nrm1 + 1.0)
+        b = np.asarray(self.pd.rhs, np.float64)
+        bb = float(b @ b)
+        best_dinf, best_dual = admm_stats.dinf_l1, None
+        floor = 1e-14 * max(1.0, float(self.pd.c_nrm_inf))
+        prev_dinf, since_impr = np.inf, 0
+        traj = []
+        bases = {}        # (bucket j, block bi) -> orthonormal [n, p]
+        P_CAP = 48        # basis columns kept per block (theta n=300's
+                          # binding subspace overflows a 24-cap: the
+                          # oldest-first trim dropped directions that
+                          # then re-sank, oscillating at 2-3e-4)
+        PAIR_PAD = P_CAP * (P_CAP + 1) // 2   # fixed dispatch width
+        delta = 0.5 * band * norm
+        n_cons = 0
+        # proximal control: the subspace model is exact, but a large
+        # ||dlam|| damages the slack OUTSIDE the span (by ~||A^*(d)||);
+        # sigma regularizes the constraint solve, backing off 5x when
+        # a round's measured dinf regresses (with the dual restored)
+        # and relaxing 0.7x when it improves
+        sigma = 1e-2
+        last_dinf, last_dual = np.inf, None
+        for rnd in range(30):
+            # measure at the CURRENT dual; collect offending eigenpairs
+            # (the eigh-rescue certificate hands back up to _EIG_K
+            # smallest pairs per block; Lanczos blocks one Ritz vector)
+            lp_part, lams = self._dual_infeas_pass()
+            dinf = lp_part
+            for lam in lams:
+                dinf += float(np.sum(np.abs(np.minimum(lam, 0.0))))
+            dinf /= norm
+            traj.append(dinf)
+            if dinf < best_dinf:
+                best_dinf, best_dual = dinf, self.dual
+            if dinf <= band:
+                break
+            restored = False
+            if dinf > last_dinf * 1.02 and last_dual is not None:
+                # regression: restore and retry with a heavier
+                # proximal weight (the step was too aggressive for
+                # the off-span spectrum)
+                self.dual = last_dual
+                sigma *= 8.0
+                restored = True
+                if sigma > 1e5:
+                    break
+            else:
+                last_dinf, last_dual = dinf, self.dual
+                sigma = max(sigma * 0.9, 1e-4)
+            # plateau exit: five non-backtracked rounds without
+            # improving the BEST certified dinf by 10% means the
+            # subspace has saturated without covering the violation —
+            # concede to the reopt fallback rather than burn
+            # certificates (restored rounds retry, they don't count)
+            if not restored:
+                since_impr = (0 if dinf < 0.9 * prev_dinf
+                              else since_impr + 1)
+                prev_dinf = min(prev_dinf, dinf)
+            if since_impr >= 5:
+                break
+            # grow each block's basis with the newly measured
+            # eigendirections (orthonormalized; the measured vectors
+            # are genuine slack eigenvectors, so new components only
+            # appear when the violation lives outside today's span)
+            grab = 2.0 * band * norm
+            for j in range(len(self.pd.buckets)):
+                vec = np.asarray(jax.device_get(self.last_cert_vecs[j]),
+                                 np.float64)
+                lk = np.asarray(jax.device_get(
+                    self.last_cert_lams_k[j]))
+                for bi, ki in zip(*np.nonzero(lk < max(grab, floor))):
+                    Bb = bases.get((j, bi))
+                    v = vec[bi, ki].copy()
+                    if Bb is not None:
+                        v -= Bb @ (Bb.T @ v)
+                    nv = np.linalg.norm(v)
+                    if nv < 1e-6:
+                        continue
+                    bases[(j, bi)] = (
+                        (v / nv)[:, None] if Bb is None
+                        else np.concatenate([Bb, (v / nv)[:, None]], 1))
+            if not bases:
+                break
+            # Per block, the PROJECTED slack P(lam) = B^T S(lam) B is
+            # affine in the dual with coefficients from ONE padded
+            # cross-pieces dispatch.  Pinning sampled Rayleigh
+            # quotients alone measurably stalls at ~1.5x band: once
+            # the binding eigenvector rotates WITHIN the sampled span,
+            # it rides off-diagonal couplings invisible to diagonal RQ
+            # constraints.  The projected matrix sees them, and its
+            # eigen-directions give exact affine constraints below.
+            P0s, Pgs = {}, {}
+            for (j, bi), Bb in bases.items():
+                if Bb.shape[1] > P_CAP:
+                    # oldest-first trim to the dispatch-width cap
+                    Bb = bases[(j, bi)] = Bb[:, -P_CAP:]
+                p = Bb.shape[1]
+                bk = self.pd.buckets[j]
+                b_eff = np.asarray(
+                    jax.device_get(self.last_cert_vecs[j])).shape[0]
+                iu = np.triu_indices(p)
+                q = iu[0].size
+                Vi = np.zeros((PAIR_PAD, b_eff, bk.n, 1))
+                Vj = np.zeros_like(Vi)
+                Vi[:q, bi, :, 0] = Bb[:, iu[0]].T
+                Vj[:q, bi, :, 0] = Bb[:, iu[1]].T
+                cq, gq = _cross_pieces(bk, jnp.asarray(Vi, self.dtype),
+                                       jnp.asarray(Vj, self.dtype))
+                cq = np.asarray(jax.device_get(cq), np.float64)[:q]
+                gq = np.asarray(jax.device_get(gq), np.float64)[:q]
+                P0 = np.zeros((p, p))
+                Pg = np.zeros((p, p, self.pd.m))
+                P0[iu] = cq
+                Pg[iu] = gq
+                P0 = P0 + P0.T - np.diag(np.diag(P0))
+                Pg = Pg + np.swapaxes(Pg, 0, 1)
+                idx = np.arange(p)
+                Pg[idx, idx] *= 0.5
+                P0s[(j, bi)], Pgs[(j, bi)] = P0, Pg
+            # active-set loop on the projected matrices' true
+            # eigen-directions (all host math; each constraint is an
+            # exact affine Rayleigh quotient c_w - g_w . lambda)
+            lam_h = np.asarray(self.dual, np.float64)
+            d_tot = np.zeros(self.pd.m)
+            cons_c, cons_g = [], []
+            for _ in range(40):
+                lam_cur = lam_h + d_tot
+                new = 0
+                for key in P0s:
+                    P = P0s[key] - np.tensordot(Pgs[key], lam_cur,
+                                                axes=([2], [0]))
+                    evals, W = np.linalg.eigh(P)
+                    for ei in np.nonzero(
+                            evals < delta * (1 - 1e-9))[0]:
+                        w = W[:, ei]
+                        cons_c.append(float(w @ P0s[key] @ w))
+                        cons_g.append(np.einsum("i,j,ijm->m", w, w,
+                                                Pgs[key]))
+                        new += 1
+                if new == 0 or not cons_g:
+                    break               # lam_min(P) >= delta everywhere
+                G = np.stack(cons_g)
+                cs = np.asarray(cons_c)
+                Gp = G - (G @ b / max(bb, 1e-300))[:, None] * b[None] \
+                    if bb > 0 else G
+                rq = cs - G @ lam_cur
+                t = rq - np.maximum(rq, delta)
+                M = Gp @ Gp.T
+                reg = sigma * max(np.trace(M) / max(len(M), 1), 1e-30)
+                alpha = np.linalg.solve(M + reg * np.eye(len(M)), t)
+                d_tot = d_tot + Gp.T @ alpha
+            n_cons = len(cons_g)
+            self.dual = self.dual + jnp.asarray(d_tot, self.dtype)
+        accept = best_dinf <= band and best_dual is not None
+        improved = best_dual is not None \
+            and best_dinf < admm_stats.dinf_l1
+        self.log(f"spectral dual repair: dinf {admm_stats.dinf_l1:.2e}"
+                 f" -> {best_dinf:.2e} in {rnd + 1} rounds "
+                 f"({' '.join(f'{d:.1e}' for d in traj)}), basis "
+                 f"{sum(B.shape[1] for B in bases.values())} cons "
+                 f"{n_cons} [{time.time() - t0:.2f}s] -> "
+                 + ("accepted" if accept else
+                    "kept (band unmet; reopt continues from here)"
+                    if improved else "rejected"))
+        if accept or improved:
+            # b-orthogonal moves leave dObj/gap untouched, so a
+            # strictly better certified dinf is kept even when the
+            # band is unmet — the fallback reopt then starts closer
+            self.dual = best_dual
+            dobj_new = float(jnp.vdot(self.pd.rhs, self.dual))
+            dobj_new /= self.scale_obj_his
+            self.dobj = dobj_new
+            self.gap = abs(self.pobj - dobj_new) / (
+                1.0 + abs(self.pobj) + abs(dobj_new))
+            admm_stats.dobj = dobj_new
+            admm_stats.gap = self.gap
+            admm_stats.dinf_l1 = best_dinf
+            admm_stats.dinf_inf = best_dinf * (1 + self.pd.c_nrm1) / (
+                1 + self.pd.c_nrm_inf)
+            return accept
+        self.dual = old_dual
+        return False
+
     def _try_dual_refine(self, admm_stats) -> bool:
         """Direct dual refinement (alg/dualrefine.py, extension): fit
         the dual to complementarity min ||(C - A^*(y)) Rbar||_F^2 by
@@ -934,38 +1156,58 @@ class LoradsSolver:
         dinf/dObj/gap updated to the re-measured values)."""
         p = self.params
         band = p.phase2_tol if p.high_acc_mode else 5 * p.phase2_tol
+        # The spectral repair goes first: it targets the slack's
+        # binding eigendirection directly, which the complementarity
+        # LS below cannot see when that direction is orthogonal to
+        # range(R) (the near-optimal case).
+        if self._try_spectral_repair(admm_stats):
+            return True
         t0 = time.time()
         Rbar = jax.tree.map(lambda u, v: 0.5 * (u + v), self.U, self.V)
         old_dual = self.dual
         old_dobj, old_gap = self.dobj, self.gap
         n_iter = min(max(2 * self.pd.m, 64), 1200)
-        cand, ls0, ls1 = dual_ls_refine(self.pd, Rbar, self.dual,
+        step, ls0, ls1 = dual_ls_refine(self.pd, Rbar, self.dual,
                                         n_iter)
         ls0, ls1 = jax.device_get((ls0, ls1))
-        self.dual = cand
-        dinf_new = self.dual_infeasibility()   # repair may compose
-        dobj_new = float(jnp.vdot(self.pd.rhs, self.dual))
-        dobj_new /= self.scale_obj_his
-        gap_new = abs(self.pobj - dobj_new) / (
-            1.0 + abs(self.pobj) + abs(dobj_new))
-        ok_new = dinf_new <= band and gap_new <= band
-        ok_old = (admm_stats.dinf_l1 <= band
-                  and admm_stats.gap <= band)
-        accept = ok_new and (not ok_old
-                             or dinf_new < admm_stats.dinf_l1)
+        # b^T step = 0 by construction, so dObj/gap are unchanged by
+        # ANY damping t — acceptance is a pure dinf comparison.  The
+        # full LS step can still overshoot PSD-ness in directions
+        # outside R's column space (||S R||_F doesn't see them), so
+        # try damped candidates; each costs one certificate dispatch.
+        # Repair must NOT compose during candidate evaluation: a
+        # composed identity shift moves dObj (measured on theta n=300:
+        # it dragged dObj 70 below pObj and masked the candidate's own
+        # quality) — it is applied, if ever, to the accepted point by
+        # the ordinary certificate path later.
+        best_t, best_dinf = None, admm_stats.dinf_l1
+        for t in (1.0, 0.25):
+            self.dual = old_dual + t * step
+            dinf_t = self.dual_infeasibility(repair=False)
+            if dinf_t < best_dinf:
+                best_t, best_dinf = t, dinf_t
+            if dinf_t <= band:
+                break
+        accept = best_t is not None and best_dinf <= band
         self.log(f"dual refine: LS |S R| {float(ls0):.3e} -> "
-                 f"{float(ls1):.3e} ({n_iter}-iter CGNR cap), "
-                 f"dinf {admm_stats.dinf_l1:.2e} -> {dinf_new:.2e}, "
-                 f"gap {admm_stats.gap:.2e} -> {gap_new:.2e} "
-                 f"[{time.time() - t0:.2f}s] -> "
+                 f"{float(ls1):.3e} ({n_iter}-iter CGNR cap, "
+                 f"b-orthogonal), dinf {admm_stats.dinf_l1:.2e} -> "
+                 f"{best_dinf:.2e}"
+                 + (f" at t={best_t}" if best_t is not None else "")
+                 + f" [{time.time() - t0:.2f}s] -> "
                  f"{'accepted' if accept else 'rejected'}")
         if accept:
+            self.dual = old_dual + best_t * step
+            dobj_new = float(jnp.vdot(self.pd.rhs, self.dual))
+            dobj_new /= self.scale_obj_his
+            gap_new = abs(self.pobj - dobj_new) / (
+                1.0 + abs(self.pobj) + abs(dobj_new))
             self.dobj = dobj_new
             self.gap = gap_new
             admm_stats.dobj = dobj_new
             admm_stats.gap = gap_new
-            admm_stats.dinf_l1 = dinf_new
-            admm_stats.dinf_inf = dinf_new * (1 + self.pd.c_nrm1) / (
+            admm_stats.dinf_l1 = best_dinf
+            admm_stats.dinf_inf = best_dinf * (1 + self.pd.c_nrm1) / (
                 1 + self.pd.c_nrm_inf)
             return True
         self.dual = old_dual
@@ -1332,22 +1574,36 @@ _DENSE_EIG_DIM = 1024
 _DENSE_EIG_BUDGET = 2 ** 26
 
 
+# How many smallest eigenpairs the eigh-rescue certificate hands the
+# spectral dual repair per block (the eigh computes them all anyway;
+# more directions per round = fewer certificate round trips — theta's
+# slack spectrum is DENSE near zero, so discovery rate is what bounds
+# the repair's convergence).
+_EIG_K = 12
+
+
 def _exact_min_eig(Wn):
-    """Exact min eigenvalue of normalized slack blocks [B, n, n].
+    """Exact smallest eigenpairs of normalized slack blocks [B, n, n]
+    -> (lams [B, k], vecs [B, k, n]), k = min(_EIG_K, n), ascending.
+    lams[:, 0] is the certificate value; the extra pairs feed the
+    spectral dual repair (solver._try_spectral_repair).
 
     TPU eigh runs f32 on the normalized operator; on an f64-escalated
     solve a raw f32 eigenVALUE carries ~1e-5..1e-4 absolute error
-    (rescaled by ws) — at the high-acc dinf band — so the f32
+    (rescaled by ws) — at the high-acc dinf band — so each f32
     eigenVECTOR is refined by a Rayleigh quotient at operator
     precision, which SQUARES the f32 angle error (~1e-4 -> ~1e-8
     relative).  CPU keeps native f64.
     """
+    k = min(_EIG_K, Wn.shape[-1])
     if jax.default_backend() == "cpu" or Wn.dtype == jnp.float32:
-        return jnp.linalg.eigvalsh(Wn)[:, 0]
+        evals, vecs = jnp.linalg.eigh(Wn)
+        return evals[:, :k], jnp.swapaxes(vecs[:, :, :k], 1, 2)
     _, vecs = jnp.linalg.eigh(Wn.astype(jnp.float32))
-    v = vecs[:, :, 0].astype(Wn.dtype)
-    num = jnp.einsum("bn,bnm,bm->b", v, Wn, v)
-    return num / jnp.einsum("bn,bn->b", v, v)
+    v = jnp.swapaxes(vecs[:, :, :k], 1, 2).astype(Wn.dtype)  # [B,k,n]
+    num = jnp.einsum("bkn,bnm,bkm->bk", v, Wn, v)
+    den = jnp.einsum("bkn,bkn->bk", v, v)
+    return num / den, v / jnp.sqrt(den)[:, :, None]
 
 
 def _eig_rescue_ok(bk) -> bool:
@@ -1443,6 +1699,21 @@ def _slack_operator(bk, w_loc):
 
 
 @jax.jit
+def _cross_pieces(bk, Vi, Vj):
+    """(<C, sym(v w^T)> [q], A(sym(v w^T)) [q, m]) for batched vector
+    pairs Vi, Vj [q, B, n, 1], each holding one direction in one
+    block's slab (zeros elsewhere).  ONE dispatch per repair round
+    per bucket: these are the affine coefficients of the PROJECTED
+    slack matrix P(lambda)_ij = <sym(v_i v_j^T), C - A^*(lambda)>, so
+    the spectral repair's inner loop re-evaluates P for free on host."""
+    def one(a, c):
+        uv = pat.uvt(bk, a, c)
+        return (jnp.sum(pat.obj_inner(bk, uv)),
+                pat.scatter_constr(bk, pat.constr_vals(bk, uv)))
+    return jax.vmap(one)(Vi, Vj)
+
+
+@jax.jit
 def _dual_infeas_device(pd, dual, v0s):
     """Slack assembly + normalized batched Lanczos for every bucket +
     the LP column part, as one device program.
@@ -1464,13 +1735,18 @@ def _dual_infeas_device(pd, dual, v0s):
     hi = dual.dtype == jnp.float64
     lams = []
     restarts = []
+    vecs = []
+    lams_k = []
     for bk, v0 in zip(pd.buckets, v0s):
         w_loc = pat.gather_w(bk, neg_l)
         kind, op, ws_eff = _slack_operator(bk, w_loc)
         if kind == "eigh":
-            lam = _exact_min_eig(op)
-            lams.append(lam.astype(dual.dtype) * ws_eff)
+            lk, vk = _exact_min_eig(op)
+            lk = lk.astype(dual.dtype) * ws_eff[:, None]
+            lams.append(jnp.min(lk, axis=1))
             restarts.append(jnp.asarray(-1, jnp.int32))
+            vecs.append(vk.astype(dual.dtype))
+            lams_k.append(lk)
         elif hi:
             # f64-escalated solve: run the Lanczos restart loop at f32
             # on an f32 cast of the SAME normalized slack (eigenvectors
@@ -1483,12 +1759,21 @@ def _dual_infeas_device(pd, dual, v0s):
             # is far INSIDE that band.
             _, op32, _ = _slack_operator(pat.cast_floats(bk),
                                          w_loc.astype(jnp.float32))
-            lam, its = lanczos_min_eig_device(
-                op32, v0.astype(jnp.float32), matvec_hi=op)
-            lams.append(lam * ws_eff)
+            lam, its, vec = lanczos_min_eig_device(
+                op32, v0.astype(jnp.float32), matvec_hi=op,
+                return_vec=True)
+            lam = lam * ws_eff
+            lams.append(lam)
             restarts.append(its)
+            vecs.append(vec.astype(dual.dtype)[:, None, :])
+            lams_k.append(lam[:, None])
         else:
-            lam, its = lanczos_min_eig_device(op, v0)
-            lams.append(lam * ws_eff)
+            lam, its, vec = lanczos_min_eig_device(op, v0,
+                                                   return_vec=True)
+            lam = lam * ws_eff
+            lams.append(lam)
             restarts.append(its)
-    return lp_part, tuple(lams), tuple(restarts)
+            vecs.append(vec[:, None, :])
+            lams_k.append(lam[:, None])
+    return (lp_part, tuple(lams), tuple(restarts), tuple(vecs),
+            tuple(lams_k))

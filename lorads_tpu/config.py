@@ -115,14 +115,23 @@ class LoradsParams:
     # re-measured after the shift).  Spares the expensive high-rho
     # ALM polish whose only purpose is driving dinf down.
     dual_repair: bool = True
-    # Direct dual refinement (extension, alg/dualrefine.py): when dinf
-    # fails its acceptance band after the initial two-phase solve, fit
-    # the dual to complementarity min ||(C - A^*(lambda)) R||_F^2 by
-    # CGNR (linear LS; ~one ALM-iteration cost per CG step, one
-    # dispatch) and keep the candidate only if the re-measured
-    # dinf/gap outcome improves.  Replaces the reference's level-2
-    # reopt grind (high-rho f64 ALM re-polish) when it succeeds; the
-    # reopt path remains as the fallback.  No-LP problems only.
+    # Direct dual-feasibility restoration suite (extension; VERDICT r2
+    # #2): when dinf fails its acceptance band after the initial
+    # two-phase solve, try — in order, before conceding to the
+    # reference-style reopt grind —
+    # (a) SPECTRAL-BUNDLE REPAIR (solver._try_spectral_repair): shift
+    #     the dual along the least-squares preimage of the slack's
+    #     offending eigendirections, b-orthogonally (dObj/gap exactly
+    #     preserved), re-certifying each round; every collected
+    #     direction's Rayleigh quotient is affine in the dual, so the
+    #     growing bundle re-evaluates for free;
+    # (b) COMPLEMENTARITY CGNR (alg/dualrefine.py): b-orthogonal
+    #     linear LS min ||(C - A^*(y)) R||_F on the spectrum-weighted
+    #     factors — effective when the violation lives in range(R)
+    #     (the spectral repair covers the orthogonal case).
+    # Candidates are kept only when the re-measured certified outcome
+    # improves; the reopt path remains as the fallback.  No-LP
+    # problems only (a dual move changes LP column slacks).
     dual_refine: bool = True
     # Mixed-precision ADMM CG (deviation; VERDICT r2 #1): on
     # f64-escalated solves the CG sweeps run at f32 on an f32 cast of

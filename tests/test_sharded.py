@@ -450,6 +450,38 @@ def test_tp_per_device_memory_ceiling(eight_devices):
     assert slab * 4 < full, (full, slab)
 
 
+def test_tp_per_device_flops_halve(eight_devices):
+    """VERDICT r2 #7 cost-model criterion: tp's per-device compiled
+    FLOPs for the gradient step drop ~D-fold (XLA's cost analysis
+    reports the PARTITIONED per-device module under GSPMD).  The
+    [n, r] factor algebra stays replicated by design (DESIGN.md #21)
+    — it is a rounding error against the n^2 r slab work, so the
+    per-device total still lands near slab/D."""
+    problem = generators.lovasz_theta(n=1024, avg_degree=6, seed=0)
+
+    @jax.jit
+    def step(pd, R, dual, rho):
+        _, total = aop.auv(pd, R, R)
+        g = aop.grad(pd, R, rho * (total - pd.rhs) - dual)
+        return fv_norm2sq(g)
+
+    def per_device_flops(shard, nd):
+        sv = LoradsSolver(problem, LoradsParams(
+            verbose=False, dtype="f32", shard=shard, n_devices=nd))
+        rho = jnp.asarray(1.0, jnp.float32)
+        ca = (step.lower(sv.pd, sv.R, sv.dual, rho).compile()
+              .cost_analysis())
+        return ca["flops"]
+
+    full = per_device_flops("off", 8)
+    half = per_device_flops("tp", 2)
+    eighth = per_device_flops("tp", 8)
+    # slab work shards exactly; replicated factor work + slab padding
+    # keep the ratio a bit above 1/D
+    assert half < 0.65 * full, (full, half)
+    assert eighth < 0.25 * full, (full, eighth)
+
+
 def test_tp_aug_rank_and_f64_escalation(eight_devices):
     # dim=32/m=60: rank 7 < rank_max 11, so aug_rank has headroom.
     # Loose tol + no reopt keep the post-escalation re-solve short —
