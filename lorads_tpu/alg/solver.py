@@ -971,7 +971,6 @@ class LoradsSolver:
                           # binding subspace overflows a 24-cap: the
                           # oldest-first trim dropped directions that
                           # then re-sank, oscillating at 2-3e-4)
-        PAIR_PAD = P_CAP * (P_CAP + 1) // 2   # fixed dispatch width
         delta = 0.5 * band * norm
         n_cons = 0
         # proximal control: the subspace model is exact, but a large
@@ -1042,69 +1041,79 @@ class LoradsSolver:
                         else np.concatenate([Bb, (v / nv)[:, None]], 1))
             if not bases:
                 break
-            # Per block, the PROJECTED slack P(lam) = B^T S(lam) B is
-            # affine in the dual with coefficients from ONE padded
-            # cross-pieces dispatch.  Pinning sampled Rayleigh
-            # quotients alone measurably stalls at ~1.5x band: once
-            # the binding eigenvector rotates WITHIN the sampled span,
-            # it rides off-diagonal couplings invisible to diagonal RQ
-            # constraints.  The projected matrix sees them, and its
-            # eigen-directions give exact affine constraints below.
-            P0s, Pgs = {}, {}
-            for (j, bi), Bb in bases.items():
-                if Bb.shape[1] > P_CAP:
-                    # oldest-first trim to the dispatch-width cap
-                    Bb = bases[(j, bi)] = Bb[:, -P_CAP:]
-                p = Bb.shape[1]
-                bk = self.pd.buckets[j]
+            # Per bucket, build the (zero-padded) device basis tensor
+            # and evaluate the PROJECTED slack P = B^T S(lam) B on
+            # device ([b_eff, p, p] output only).  Pinning sampled
+            # Rayleigh quotients alone measurably stalls at ~1.5x
+            # band: once the binding eigenvector rotates WITHIN the
+            # sampled span, it rides off-diagonal couplings invisible
+            # to diagonal RQ constraints.  The projected matrix sees
+            # them, and its eigen-directions give exact affine
+            # constraints below.
+            for key in list(bases):
+                if bases[key].shape[1] > P_CAP:
+                    # oldest-first trim to the fixed device width
+                    bases[key] = bases[key][:, -P_CAP:]
+            Bmats, p_real = {}, {}
+            for j, bk in enumerate(self.pd.buckets):
+                blocks = [bi for (jj, bi) in bases if jj == j]
+                if not blocks:
+                    continue
                 b_eff = np.asarray(
                     jax.device_get(self.last_cert_vecs[j])).shape[0]
-                iu = np.triu_indices(p)
-                q = iu[0].size
-                Vi = np.zeros((PAIR_PAD, b_eff, bk.n, 1))
-                Vj = np.zeros_like(Vi)
-                Vi[:q, bi, :, 0] = Bb[:, iu[0]].T
-                Vj[:q, bi, :, 0] = Bb[:, iu[1]].T
-                cq, gq = _cross_pieces(bk, jnp.asarray(Vi, self.dtype),
-                                       jnp.asarray(Vj, self.dtype))
-                cq = np.asarray(jax.device_get(cq), np.float64)[:q]
-                gq = np.asarray(jax.device_get(gq), np.float64)[:q]
-                P0 = np.zeros((p, p))
-                Pg = np.zeros((p, p, self.pd.m))
-                P0[iu] = cq
-                Pg[iu] = gq
-                P0 = P0 + P0.T - np.diag(np.diag(P0))
-                Pg = Pg + np.swapaxes(Pg, 0, 1)
-                idx = np.arange(p)
-                Pg[idx, idx] *= 0.5
-                P0s[(j, bi)], Pgs[(j, bi)] = P0, Pg
-            # active-set loop on the projected matrices' true
-            # eigen-directions (all host math; each constraint is an
-            # exact affine Rayleigh quotient c_w - g_w . lambda)
+                Bm = np.zeros((b_eff, bk.n, P_CAP))
+                for bi in blocks:
+                    Bb = bases[(j, bi)]
+                    Bm[bi, :, : Bb.shape[1]] = Bb
+                    p_real[(j, bi)] = Bb.shape[1]
+                Bmats[j] = jnp.asarray(Bm, self.dtype)
+            # active-set loop: P's eigen-directions (host eigh of
+            # [p, p]) give constraints whose affine pieces c_u, g_u
+            # come from one SMALL padded rank-1 dispatch per
+            # iteration; P itself is re-evaluated on device at the
+            # moved dual (small dispatches, [p, p] transfers)
             lam_h = np.asarray(self.dual, np.float64)
             d_tot = np.zeros(self.pd.m)
             cons_c, cons_g = [], []
-            for _ in range(40):
-                lam_cur = lam_h + d_tot
-                new = 0
-                for key in P0s:
-                    P = P0s[key] - np.tensordot(Pgs[key], lam_cur,
-                                                axes=([2], [0]))
-                    evals, W = np.linalg.eigh(P)
-                    for ei in np.nonzero(
-                            evals < delta * (1 - 1e-9))[0]:
-                        w = W[:, ei]
-                        cons_c.append(float(w @ P0s[key] @ w))
-                        cons_g.append(np.einsum("i,j,ijm->m", w, w,
-                                                Pgs[key]))
-                        new += 1
-                if new == 0 or not cons_g:
+            CON_PAD = 8
+            for _ in range(12):
+                dual_cur = jnp.asarray(lam_h + d_tot, self.dtype)
+                new_dirs = []          # (j, bi, u)
+                for j, Bm in Bmats.items():
+                    P_all = np.asarray(jax.device_get(_proj_slack(
+                        self.pd.buckets[j], dual_cur, Bm)), np.float64)
+                    for (jj, bi), p in p_real.items():
+                        if jj != j:
+                            continue
+                        P = P_all[bi][:p, :p]
+                        P = 0.5 * (P + P.T)
+                        evals, W = np.linalg.eigh(P)
+                        for ei in np.nonzero(
+                                evals < delta * (1 - 1e-9))[0][:CON_PAD]:
+                            new_dirs.append(
+                                (j, bi, bases[(j, bi)] @ W[:p, ei]))
+                if not new_dirs:
                     break               # lam_min(P) >= delta everywhere
+                # affine pieces of the new constraint directions
+                for j in {d[0] for d in new_dirs}:
+                    bk = self.pd.buckets[j]
+                    b_eff = Bmats[j].shape[0]
+                    dirs_j = [d for d in new_dirs if d[0] == j]
+                    Vk = np.zeros((CON_PAD, b_eff, bk.n, 1))
+                    for idx, (_, bi, u) in enumerate(dirs_j[:CON_PAD]):
+                        Vk[idx, bi, :, 0] = u
+                    Vkd = jnp.asarray(Vk, self.dtype)
+                    cu, gu = _cross_pieces(bk, Vkd, Vkd)
+                    cu = np.asarray(jax.device_get(cu), np.float64)
+                    gu = np.asarray(jax.device_get(gu), np.float64)
+                    for idx in range(min(len(dirs_j), CON_PAD)):
+                        cons_c.append(cu[idx])
+                        cons_g.append(gu[idx])
                 G = np.stack(cons_g)
                 cs = np.asarray(cons_c)
                 Gp = G - (G @ b / max(bb, 1e-300))[:, None] * b[None] \
                     if bb > 0 else G
-                rq = cs - G @ lam_cur
+                rq = cs - G @ (lam_h + d_tot)
                 t = rq - np.maximum(rq, delta)
                 M = Gp @ Gp.T
                 reg = sigma * max(np.trace(M) / max(len(M), 1), 1e-30)
@@ -1696,6 +1705,20 @@ def _slack_operator(bk, w_loc):
         return pat.w_mul(bk, Wn, x[:, :, None])[:, :, 0]
 
     return "lanczos", mv, (ws[:1] if bk.summed else ws)
+
+
+@jax.jit
+def _proj_slack(bk, dual, Bmat):
+    """Projected slack P = B^T (C - A^*(dual)) B per block, computed
+    ON DEVICE: Bmat [b_eff, n, p] holds each block's (zero-padded)
+    direction basis, output [b_eff, p, p].  One small-output dispatch
+    replaces shipping the full affine coefficient tensor
+    (P_CAP^2 x m doubles) to host every repair round."""
+    w_loc = pat.gather_w(bk, -dual)
+    W = pat.build_w(bk, w_loc)
+    SB = pat.w_mul(bk, W, Bmat)
+    return jnp.einsum("bnp,bnq->bpq", Bmat, SB,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
