@@ -149,6 +149,11 @@ def _inner_loop(pd: ProblemData, R: FactorVec, grad: FactorVec,
 
     def body(carry):
         (R_, g_, h_, ca_, cs_, cert_, pinf_, it, _, _, _) = carry
+        # pin the loop carries to the intended placement (no-op off
+        # mesh): factors replicated on summed/rowshard meshes, else
+        # GSPMD reshards them row-wise and re-gathers per kernel
+        R_, g_ = aop.pin_factors(pd, R_), aop.pin_factors(pd, g_)
+        h_ = aop.pin_history(pd, h_)
         h_ = jax.lax.cond(it % 300 == 0, history_reset, lambda h: h, h_)
         D = lbfgs_direction(h_, g_)
         q0 = pd.rhs - cs_

@@ -96,6 +96,23 @@ def scale_objective(pd: ProblemData, s: float) -> ProblemData:
 # Whole-problem operators.
 # ---------------------------------------------------------------------------
 
+def pin_factors(pd: ProblemData, fv: FactorVec) -> FactorVec:
+    """Pin each cone REPLICATED on its bucket's mesh (no-op for
+    buckets without one — dp cones stay block-sharded).  Applied to
+    the ALM loop carries: GSPMD otherwise reshards the factors /
+    L-BFGS history row-wise mid-loop and re-gathers them at every
+    kernel entry (see pattern.BucketData.mesh / DESIGN.md #21)."""
+    return FactorVec(tuple(pat._pin(bk, x)
+                           for bk, x in zip(pd.buckets, fv.cones)),
+                     fv.lp)
+
+
+def pin_history(pd: ProblemData, h):
+    """pin_factors over an LBFGSHistory's stacked s/y FactorVecs."""
+    return dataclasses.replace(h, s=pin_factors(pd, h.s),
+                               y=pin_factors(pd, h.y))
+
+
 def auv(pd: ProblemData, X: FactorVec, Y: FactorVec):
     """A(sym(X Y^T)): per-bucket local values and the global sum.
 

@@ -203,7 +203,8 @@ class LoradsSolver:
                 from lorads_tpu.parallel.pattern_sharded import (
                     build_pattern_shards)
                 bk = build_pattern_shards(bp.plans[0], self.m, nd,
-                                          self.dtype, summed=True)
+                                          self.dtype, summed=True,
+                                          mesh=self.mesh)
             elif tp:
                 from lorads_tpu.parallel.row_sharded import (
                     build_rowshard_bucket)

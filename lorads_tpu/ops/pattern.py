@@ -787,17 +787,24 @@ def cast_floats(tree, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def _expand(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
-    """Broadcast a replicated factor-side array to the shard axis."""
+    """Broadcast a replicated factor-side array to the shard axis.
+
+    For mesh-placed summed buckets the input is PINNED replicated
+    first: without the pin GSPMD reshards the ALM loop-carry factors
+    row-wise and re-gathers them at every kernel entry (measured ~10
+    factor-sized collectives per inner iteration at D=2, same disease
+    DESIGN.md #21 documents for tp)."""
     if bk.summed and X.shape[0] != bk.B:
-        return jnp.broadcast_to(X, (bk.B,) + X.shape[1:])
+        return jnp.broadcast_to(_pin(bk, X), (bk.B,) + X.shape[1:])
     return X
 
 
 def _reduce(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
     """Sum a factor-shaped per-shard result back to [1, ...]
-    (a psum over the mesh once the B axis is device-sharded)."""
+    (a psum over the mesh once the B axis is device-sharded); the
+    result is pinned replicated (see _expand)."""
     if bk.summed:
-        return jnp.sum(X, axis=0, keepdims=True)
+        return _pin(bk, jnp.sum(X, axis=0, keepdims=True))
     return X
 
 
@@ -941,7 +948,8 @@ def constr_vals(bk: BucketData, uvt_val) -> jnp.ndarray:
         dg = jnp.take_along_axis(d, bk.a_row_d, axis=1) * bk.a_val_d
         vals = batched_segment_sum(dg, bk.a_con_d, bk.m_loc,
                                    sorted_ids=bk.a_con_d_sorted,
-                                   bounds=bk.bnd_a_con_d)
+                                   bounds=bk.bnd_a_con_d,
+                                   shard_batch=bk.mesh is not None)
     else:
         vals = jnp.zeros((d.shape[0], bk.m_loc), dtype=d.dtype)
     if bk.has_off_a:
@@ -949,6 +957,7 @@ def constr_vals(bk: BucketData, uvt_val) -> jnp.ndarray:
             2.0 * bk.a_val_o)
         vals = vals + batched_segment_sum(og, bk.a_con_o, bk.m_loc,
                                           sorted_ids=bk.a_con_o_sorted,
+                                          shard_batch=bk.mesh is not None,
                                           bounds=bk.bnd_a_con_o)
     return vals
 
@@ -1057,20 +1066,23 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
             wa_d = jnp.take_along_axis(w_loc, bk.a_con_d_s, axis=1)
             W_d = batched_segment_sum(bk.a_val_d_s * wa_d, bk.a_row_d_s,
                                       bk.n, sorted_ids=True,
-                                      bounds=bk.bnd_a_row_d_s)
+                                      bounds=bk.bnd_a_row_d_s,
+                                      shard_batch=bk.mesh is not None)
         else:
             W_d = jnp.zeros((w_loc.shape[0], bk.n), dtype=w_loc.dtype)
         if bk.has_off_a:
             wa_o = jnp.take_along_axis(w_loc, bk.a_con_o_s, axis=1)
             W_o = batched_segment_sum(bk.a_val_o_s * wa_o, bk.a_pos_o_s,
                                       bk.Ko, sorted_ids=True,
-                                      bounds=bk.bnd_a_pos_o_s)
+                                      bounds=bk.bnd_a_pos_o_s,
+                                      shard_batch=bk.mesh is not None)
             # col-order copy via statically remapped entry indices —
             # a second small sorted scatter, not a runtime permutation
             wa_oc = jnp.take_along_axis(w_loc, bk.a_con_o_co_s, axis=1)
             W_oc = batched_segment_sum(
                 bk.a_val_o_co_s * wa_oc, bk.a_pos_o_co_s, bk.Ko,
-                sorted_ids=True, bounds=bk.bnd_a_pos_o_co_s)
+                sorted_ids=True, bounds=bk.bnd_a_pos_o_co_s,
+                shard_batch=bk.mesh is not None)
         else:
             W_o = jnp.zeros((w_loc.shape[0], bk.Ko), dtype=w_loc.dtype)
             W_oc = W_o
@@ -1112,11 +1124,13 @@ def w_mul(bk: BucketData, W, X: jnp.ndarray) -> jnp.ndarray:
             xc_rp = take_rows(X, bk.off_cols_rp)
             out = out + batched_segment_sum(
                 W_rp[:, :, None] * xc_rp, bk.off_rows_s, bk.n,
-                sorted_ids=True, bounds=bk.bnd_off_rows_s)
+                sorted_ids=True, bounds=bk.bnd_off_rows_s,
+                shard_batch=bk.mesh is not None)
             xr_cp = take_rows(X, bk.off_rows_cp)
             out = out + batched_segment_sum(
                 W_oc[:, :, None] * xr_cp, bk.off_cols_sp, bk.n,
-                sorted_ids=True, bounds=bk.bnd_off_cols_sp)
+                sorted_ids=True, bounds=bk.bnd_off_cols_sp,
+                shard_batch=bk.mesh is not None)
         return _reduce(bk, out)
     # lower pass in row-sorted order (one extra [K] gather of W buys
     # a sorted scatter); upper pass is already column-sorted
@@ -1266,11 +1280,13 @@ def a_adj_a(bk: BucketData, uvt_val):
         dg = jnp.take_along_axis(d, bk.a_row_d, axis=1) * bk.a_val_d
         vals = batched_segment_sum(dg, bk.a_con_d, bk.m_loc,
                                    sorted_ids=bk.a_con_d_sorted,
-                                   bounds=bk.bnd_a_con_d)
+                                   bounds=bk.bnd_a_con_d,
+                                   shard_batch=bk.mesh is not None)
         wa_d = jnp.take_along_axis(vals, bk.a_con_d_s, axis=1)
         W_d = batched_segment_sum(bk.a_val_d_s * wa_d, bk.a_row_d_s,
                                   bk.n, sorted_ids=True,
-                                  bounds=bk.bnd_a_row_d_s)
+                                  bounds=bk.bnd_a_row_d_s,
+                                  shard_batch=bk.mesh is not None)
     else:
         W_d = jnp.zeros((d.shape[0], bk.n), dtype=d.dtype)
     return W_d, W_o, W_oc
@@ -1298,7 +1314,7 @@ def cmul(bk: BucketData, X: jnp.ndarray,
         out = out + batched_segment_sum(
             bk.c_sym_rs[:, :, None] * Xs, bk.sym_rows_rs, bk.n,
             sorted_ids=True, bounds=bk.bnd_sym_rows,
-            f32_bounds=True)
+            f32_bounds=True, shard_batch=bk.mesh is not None)
     return _reduce(bk, out)
 
 

@@ -35,7 +35,8 @@ AXIS = "sp"
 
 
 def build_pattern_shards(plan: BlockPlan, m_glob: int, n_devices: int,
-                         dtype, summed: bool = False) -> pat.BucketData:
+                         dtype, summed: bool = False,
+                         mesh=None) -> pat.BucketData:
     """Partition one block's union pattern into n_devices contiguous
     slot ranges and build a [D]-stacked BucketData (device axis
     leading, i.e. the usual B axis doubles as the shard axis).
@@ -93,6 +94,9 @@ def build_pattern_shards(plan: BlockPlan, m_glob: int, n_devices: int,
         glob_idx=np.tile(plan.loc2glob, (D, 1)).astype(np.int32),
     )
     bk = pat.build_bucket_data(bp, m_glob, dtype, summed=summed)
+    if mesh is not None:
+        import dataclasses as _dc
+        bk = _dc.replace(bk, mesh=mesh)
     if summed:
         # parent-cone diag-identity detection (constraint i == diagonal
         # entry i): per-shard diag_ident is False by construction, but

@@ -47,6 +47,9 @@ def alm_loop(pd, R, grad, hist, dual, constr_sum, rho, n_iter):
 
     def body(i, c):
         R_, g_, h_, ca_, cs_, acc = c
+        # same carry pins as the production inner loop (alm._inner_loop)
+        R_, g_ = aop.pin_factors(pd, R_), aop.pin_factors(pd, g_)
+        h_ = aop.pin_history(pd, h_)
         D = lbfgs_direction(h_, g_)
         p1, t1, p2, t2, dc = aop.obj_and_auv_pair_cached(pd, R_, D, ca_)
         q0 = pd.rhs - cs_
