@@ -706,6 +706,10 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
 
     def finalize(action: str) -> ALMResult:
         pobj, dobj, total, pinf, gap = alm_obj_dimacs(pd, R, dual, scale_obj)
+        # one packed transfer (4 separate float()s cost ~3 extra
+        # serialized tunnel round trips)
+        pobj, dobj, pinf, gap = jax.device_get(
+            jnp.stack([pobj, dobj, pinf, gap]))
         stats.pobj, stats.dobj = float(pobj), float(dobj)
         stats.pinf_l1, stats.gap = float(pinf), float(gap)
         stats.pinf_inf = stats.pinf_l1 * (1 + pd.b_nrm1) / (1 + pd.b_nrm_inf)
@@ -758,11 +762,20 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
         R, grad, hist, dual, constr_sum = (
             out["R"], out["grad"], out["hist"], out["dual"],
             out["constr_sum"])
-        sc = jax.device_get({kk: out[kk] for kk in (
+        # ONE packed transfer for every host-side scalar: each
+        # device_get LEAF is a serialized ~6 ms round trip over the
+        # tunnel (measured via ArrayImpl._value tracing — 22 leaf
+        # fetches were 130 ms of maxcut2000's 0.33 s solve), so the
+        # 18 scalars ride one stacked vector + the log buffer
+        _SC_KEYS = (
             "cert_val", "rho", "rho_factor", "rho_flag", "k", "max_sub",
             "update_max_sub_counter", "rank_flag", "total_inner",
             "pobj", "dobj", "pinf_l1", "pinf_inf", "gap", "tau",
-            "mexit", "oexit", "n_done", "logbuf")})
+            "mexit", "oexit", "n_done")
+        packed = jnp.stack([out[kk].astype(dt) for kk in _SC_KEYS])
+        packed_h, logbuf_h = jax.device_get((packed, out["logbuf"]))
+        sc = dict(zip(_SC_KEYS, packed_h))
+        sc["logbuf"] = logbuf_h
         # resize the next dispatch's budget from this one's measured
         # per-inner-iteration wall (target ~20 s; growth-capped 2x so
         # a compile-laden first measurement only delays ramp-up)

@@ -524,10 +524,12 @@ class LoradsSolver:
                 best_gap=out["best_gap"], since_best=out["since_best"],
                 best_pinf=out["best_pinf"],
                 since_pinf=out["since_pinf"])
-            scalars = jax.device_get(
-                {k: out[k] for k in ("it", "cg_iter", "rho", "pobj",
-                                     "dobj", "pinf_l1", "pinf_inf",
-                                     "gap", "status")})
+            # one packed transfer (see alm.py: each device_get leaf is
+            # a serialized ~6 ms tunnel round trip)
+            _K = ("it", "cg_iter", "rho", "pobj", "dobj", "pinf_l1",
+                  "pinf_inf", "gap", "status")
+            scalars = dict(zip(_K, jax.device_get(
+                jnp.stack([out[k].astype(dt) for k in _K]))))
             wall = time.time() - t_disp
             stats.iter = int(scalars["it"])
             stats.cg_iter = int(scalars["cg_iter"])
