@@ -156,7 +156,12 @@ def main():
     out = dict(head) if head else dict(records[0])
     if head:
         out["metric"] = "maxcut_n20000_time_to_1e-5"  # round-1 name
-    out["families"] = records
+    # Full family table on its own line FIRST, then a compact headline
+    # LAST: the driver records only the final ~2 kB of output, and the
+    # embedded families array alone is ~2.4 kB (VERDICT r3 weak #7 —
+    # BENCH_r03 lost the headline value to exactly this truncation).
+    print(json.dumps({"metric": "families_table", "families": records}),
+          flush=True)
     print(json.dumps(out), flush=True)
 
 

@@ -40,6 +40,11 @@ from lorads_tpu.ops import pattern as pat
 # exit codes from a device chunk
 RUNNING, CONVERGED, NUM_ERR, BAD_PD, EARLY_STOP, STALLED = 0, 1, 2, 3, 4, 5
 
+# Phase-II pinf exit margin (see pinf_l1_conv in _make_admm_chunk):
+# converge to 0.95*tol instead of 1.00*tol so the reported pinf never
+# rides the acceptance band's edge.
+EXIT_MARGIN = 0.95
+
 # Closed-form Sherman-Morrison solve for diag-identity cones (tests
 # flip this off to compare against the generic CG path).
 _CLOSED_FORM = True
@@ -341,20 +346,38 @@ def make_admm_chunk(params, reopt: bool, bucket_jacobi=(),
     jacobi = getattr(params, "admm_jacobi", False)
     if not jacobi and bucket_jacobi and any(bucket_jacobi):
         jacobi = tuple(bucket_jacobi)
-    return _make_admm_chunk(
+    return _bound_admm_chunk(
         params.rho_freq, params.rho_factor, params.phase2_tol,
         params.phase1_tol, params.rho_celling_admm,
-        jacobi,
-        getattr(params, "dual_uv", False), bool(reopt),
-        bool(gap_stop), bool(getattr(params, "admm_mixed_cg", True)))
+        jacobi, getattr(params, "dual_uv", False),
+        bool(getattr(params, "admm_mixed_cg", True)),
+        bool(reopt), bool(gap_stop))
+
+
+@functools.lru_cache(maxsize=None)
+def _bound_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
+                      jacobi, dual_uv, mixed_cg, reopt, gap_stop):
+    """reopt / gap_stop ride as TRACED booleans (VERDICT r3 #4): the
+    three chunk flavors used to be three separately-compiled graphs
+    per dtype — on the remote-compile tunnel each costs minutes.
+    Everything they change (cg tol multiplier, bad_pd limit,
+    convergence predicate, rho-schedule offset, stall detector) is a
+    scalar select, so ONE compiled graph (the shared _make_admm_chunk
+    base) serves all three; the memoized bound wrapper keeps the
+    callable identity stable across solver instances (in-process jit
+    cache reuse, see make_admm_chunk docstring)."""
+    base = _make_admm_chunk(rho_freq, rho_factor, tol2, tol1,
+                            rho_celling, jacobi, dual_uv, mixed_cg)
+
+    def bound(*a, **k):
+        return base(*a, reopt_f=reopt, gap_stop_f=gap_stop, **k)
+
+    return bound
 
 
 @functools.lru_cache(maxsize=None)
 def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
-                     jacobi, dual_uv, reopt, gap_stop=False,
-                     mixed_cg=True):
-    cg_tol_mult = 1e-4 if reopt else 1e-2
-    bad_pd_limit = 200 if reopt else 800
+                     jacobi, dual_uv, mixed_cg=True):
     escape_pow = float(rho_factor ** round(
         math.log(rho_freq * 100) / math.log(rho_freq)))
 
@@ -362,16 +385,26 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
               dual, rho, cur_rho_max, pinf_buf, old_pinf_mean, bad_pd,
               it, pinf_l1_0, gap_0, pobj0, dobj0, scale, iter_celling,
               n_steps, best_gap0, since_best0, best_pinf0=None,
-              since_pinf0=None, S=None):
+              since_pinf0=None, S=None, reopt_f=False, gap_stop_f=False):
         S_used = S if dual_uv else None
         # trace-time: the IR-CG mixed path only exists for f64 chunks
         mixed = mixed_cg and pd.rhs.dtype == jnp.float64
+        cg_tol_mult = jnp.where(reopt_f, 1e-4, 1e-2)
+        bad_pd_limit = jnp.where(reopt_f, 200, 800)
 
         def pinf_l1_conv(pinf_l1, pinf_inf, gap):
-            conv = pinf_l1 <= tol2 if reopt else pinf_inf <= tol2
-            if gap_stop:
-                conv = conv & (gap <= tol2)
-            return conv
+            # Exit margin (deviation; VERDICT r3 #6): the reference
+            # exits at pinf_inf <= tol exactly (lorads_admm.c:110),
+            # which leaves the reported pinf riding the band at
+            # 0.99-1.00x tol on the theta families — a 0.1%
+            # perturbation flips `converged`.  Converging to
+            # EXIT_MARGIN*tol costs a handful of extra iterations
+            # (pinf contracts multiplicatively) and reports pinf
+            # safely inside the band.
+            tol_p = EXIT_MARGIN * tol2
+            conv = jnp.where(reopt_f, pinf_l1 <= tol_p,
+                             pinf_inf <= tol_p)
+            return conv & jnp.where(gap_stop_f, gap <= tol2, True)
 
         # Per-dispatch CG budget: a chunk of n_steps iterations whose
         # CG solves all hit the 800-iteration cap runs MINUTES on
@@ -431,12 +464,12 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
 
             # rho schedule (lorads_admm.c:121-138)
             it_n = c["it"]
-            sched_hit = ((it_n + (0 if reopt else 1)) % rho_freq == 0)
+            it_off = it_n + jnp.where(reopt_f, 0, 1)
+            sched_hit = (it_off % rho_freq == 0)
             rho_n = jnp.where(sched_hit, c["rho"] * rho_factor, c["rho"])
             hit_max = sched_hit & (rho_n >= c["cur_rho_max"])
             rho_n = jnp.where(hit_max, c["cur_rho_max"], rho_n)
-            esc_hit = hit_max & (
-                ((it_n + (0 if reopt else 1)) % (rho_freq * 100)) == 0)
+            esc_hit = hit_max & ((it_off % (rho_freq * 100)) == 0)
             pinf_mean = jnp.sum(jnp.abs(buf)) / 10.0
             escape = (esc_hit & (pinf_mean / c["old_pinf_mean"] >= 0.65)
                       & (pinf_inf > tol2))
@@ -472,25 +505,26 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
             best_pinf_n = jnp.minimum(pinf, c["best_pinf"])
             since_p_n = jnp.where(p_impr, 0,
                                   c["since_pinf"] + 1).astype(jnp.int32)
-            if gap_stop:
-                # gap continuation: pinf has already converged once;
-                # exit on no-gap-progress alone so a hopeless push
-                # hands off (to f64 continuation or reopt) promptly
-                stalled = since_n >= 75
-            else:
-                stalled = (since_n >= 50) & (pinf <= tol2 * 0.1)
-                if pd.rhs.dtype == jnp.float32:
-                    # fire ONLY in the l1/inf wedge (pinf_l1 already
-                    # past the strict tol while the inf-scaled exit
-                    # still fails): that is the f32-floor regime —
-                    # matcomp's pinf_l1 sat 5x under tol and flat
-                    # while pinf_inf was 5x over.  Without the wedge
-                    # guard this misfired on theta's slow-but-alive
-                    # descent (pinf 4.7e-4 -> 4.2e-4 over 80 iters)
-                    # and sent its whole ADMM phase to f64 (+4.3 s).
-                    stalled = stalled | ((since_p_n >= 30)
-                                         & (pinf <= tol2)
-                                         & (pinf_inf > tol2))
+            # gap continuation (gap_stop_f): pinf has already
+            # converged once; exit on no-gap-progress alone so a
+            # hopeless push hands off (to f64 continuation or reopt)
+            # promptly.  Main phase: no-gap-progress with pinf deep
+            # under tol.
+            stalled_plain = (since_n >= 50) & (pinf <= tol2 * 0.1)
+            if pd.rhs.dtype == jnp.float32:
+                # fire ONLY in the l1/inf wedge (pinf_l1 already
+                # past the strict tol while the inf-scaled exit
+                # still fails): that is the f32-floor regime —
+                # matcomp's pinf_l1 sat 5x under tol and flat
+                # while pinf_inf was 5x over.  Without the wedge
+                # guard this misfired on theta's slow-but-alive
+                # descent (pinf 4.7e-4 -> 4.2e-4 over 80 iters)
+                # and sent its whole ADMM phase to f64 (+4.3 s).
+                stalled_plain = stalled_plain | ((since_p_n >= 30)
+                                                 & (pinf <= tol2)
+                                                 & (pinf_inf > tol2))
+            stalled = jnp.where(gap_stop_f, since_n >= 75,
+                                stalled_plain)
             status = jnp.where((status == RUNNING) & stalled,
                                i32(STALLED), status)
 

@@ -767,14 +767,20 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
         # tunnel (measured via ArrayImpl._value tracing — 22 leaf
         # fetches were 130 ms of maxcut2000's 0.33 s solve), so the
         # 18 scalars ride one stacked vector + the log buffer
-        _SC_KEYS = (
-            "cert_val", "rho", "rho_factor", "rho_flag", "k", "max_sub",
-            "update_max_sub_counter", "rank_flag", "total_inner",
-            "pobj", "dobj", "pinf_l1", "pinf_inf", "gap", "tau",
-            "mexit", "oexit", "n_done")
-        packed = jnp.stack([out[kk].astype(dt) for kk in _SC_KEYS])
-        packed_h, logbuf_h = jax.device_get((packed, out["logbuf"]))
-        sc = dict(zip(_SC_KEYS, packed_h))
+        _SC_F = ("cert_val", "rho", "rho_factor", "pobj", "dobj",
+                 "pinf_l1", "pinf_inf", "gap", "tau")
+        # integer counters/flags ride their own int32 stack: a cast
+        # through the f32 solve dtype is only exact below 2^24, and a
+        # cumulative counter (total_inner) can cross that silently
+        _SC_I = ("rho_flag", "k", "max_sub", "update_max_sub_counter",
+                 "rank_flag", "total_inner", "mexit", "oexit", "n_done")
+        packed_f = jnp.stack([out[kk].astype(dt) for kk in _SC_F])
+        packed_i = jnp.stack([out[kk].astype(jnp.int32)
+                              for kk in _SC_I])
+        packed_fh, packed_ih, logbuf_h = jax.device_get(
+            (packed_f, packed_i, out["logbuf"]))
+        sc = dict(zip(_SC_F, packed_fh))
+        sc.update(zip(_SC_I, packed_ih))
         sc["logbuf"] = logbuf_h
         # resize the next dispatch's budget from this one's measured
         # per-inner-iteration wall (target ~20 s; growth-capped 2x so

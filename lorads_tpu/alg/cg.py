@@ -140,11 +140,18 @@ def cg_solve_ir(op_hi: Callable[[jnp.ndarray], jnp.ndarray],
         r_new = b - op_hi(x_new)
         res_new = jnp.sqrt(_bdot(r_new, r_new))
         nan = jnp.isnan(res_new)
+        # A pass that WORSENED the residual (f32 cast overflow at large
+        # rho, inner-CG breakdown) must not replace the warm start —
+        # revert that block to its best iterate before stopping it.
+        keep = ((res_new <= res) & ~nan)[:, None, None]
+        x_new = jnp.where(keep, x_new, x)
+        r_new = jnp.where(keep, r_new, r)
+        res_kept = jnp.where(keep[:, 0, 0], res_new, res)
         # a pass that failed to halve the residual has hit the IR
         # contraction floor for that block — stop refining it
-        done_new = done | (res_new / safe_b1 < tol) | nan \
+        done_new = done | (res_kept / safe_b1 < tol) | nan \
             | (res_new > 0.5 * res)
-        return (x_new, r_new, res_new, done_new, passes + 1, total + k)
+        return (x_new, r_new, res_kept, done_new, passes + 1, total + k)
 
     carry = (x0, r0, res0, done0, jnp.zeros((), jnp.int32),
              jnp.zeros((), jnp.int32))

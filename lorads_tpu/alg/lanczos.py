@@ -187,6 +187,14 @@ def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
     max_restarts = max(-(-maxit // k), 2)
     dt = v0.dtype
     floor = 1e-4 if dt == jnp.float64 else 3e-3
+    # With a hi-precision refinement attached, the POSITIVITY exit
+    # keeps the f64 cutoff (ADVICE r3): the f64 Rayleigh quotient
+    # squares the f32 ANGLE error, so the loose f32 residual band is
+    # fine for value accuracy — but "lam - resid >= -tol*floor" is a
+    # value claim made BEFORE refinement, and at f32's floor it could
+    # under-report dinf by up to ~3e-5 per block on f64-escalated
+    # (high-accuracy) solves.
+    pos_floor = 1e-4 if matvec_hi is not None else floor
 
     def cond(c):
         it, lam, v, resid, lam_prev, step_prev = c
@@ -198,7 +206,7 @@ def lanczos_min_eig_device(matvec: Callable, v0: jnp.ndarray,
         remaining = step * q / (1.0 - q)
         valid = step_prev < jnp.finfo(dt).max  # needs two real steps
         settled = valid & (remaining <= 0.5 * tol * jnp.abs(lam))
-        done = ((resid <= band) | (lam - resid >= -tol * floor)
+        done = ((resid <= band) | (lam - resid >= -tol * pos_floor)
                 | settled)
         return jnp.logical_and(it < max_restarts, ~jnp.all(done))
 

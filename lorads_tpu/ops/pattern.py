@@ -102,6 +102,10 @@ def batched_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
     the scatter-free bounded_segment_sum path.
     """
     if _use_bounds(data, bounds, f32_ok=f32_bounds):
+        # Taken even when shard_batch is set: cumsum + boundary
+        # gathers are batch-independent, so GSPMD partitions this path
+        # along a sharded axis 0 with zero collectives (verified by
+        # test_sharded.test_bounded_segment_sum_partitions_cleanly).
         return bounded_segment_sum(data, bounds)
     if shard_batch:
         # keep the batch axis a REAL dimension (vmapped per-block

@@ -507,3 +507,34 @@ def test_tp_aug_rank_and_f64_escalation(eight_devices):
     assert s.pd.rhs.dtype == jnp.float64
     res = s.solve()
     assert res.pinf_l1 <= 1e-4
+
+
+def test_bounded_segment_sum_partitions_cleanly(eight_devices):
+    """ADVICE r3: batched_segment_sum honors the ``bounds`` fast path
+    BEFORE shard_batch, so bounds-eligible buckets on a mesh bypass the
+    vmapped-scatter branch.  Verify the bounded path itself (cumsum +
+    boundary gathers, all batch-independent) partitions along a sharded
+    batch axis with ZERO collectives in the compiled HLO."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from lorads_tpu.ops.pattern import bounded_segment_sum
+
+    B, N, S = 8, 64, 7
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.standard_normal((B, N)))
+    inner = np.sort(rng.integers(0, N + 1, size=(B, S - 1)), axis=1)
+    bounds = jnp.asarray(np.concatenate(
+        [np.zeros((B, 1), int), inner, np.full((B, 1), N)], axis=1),
+        jnp.int32)
+    mesh = Mesh(np.array(eight_devices), ("blk",))
+    sh = NamedSharding(mesh, P("blk"))
+    data_s = jax.device_put(data, sh)
+    bounds_s = jax.device_put(bounds, sh)
+    f = jax.jit(bounded_segment_sum)
+    hlo = f.lower(data_s, bounds_s).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all"):
+        assert coll not in hlo, f"{coll} in bounded_segment_sum HLO"
+    np.testing.assert_allclose(
+        np.asarray(f(data_s, bounds_s)),
+        np.asarray(bounded_segment_sum(data, bounds)))

@@ -577,3 +577,20 @@ def test_split_objectives_lp_requires_lp_vals():
     b = split_objectives_factors(probs, fs, lp_vals)
     for x, y in zip(a, b):
         assert x == pytest.approx(y, rel=1e-6, abs=1e-8)
+
+
+def test_phase2_exit_margin():
+    """VERDICT r3 #6: the Phase-II exit must not leave the reported
+    pinf riding the acceptance band's edge (BENCH_r03 theta families
+    finished at 0.99x tol, where a 0.1% perturbation flips
+    `converged`).  The ADMM chunk converges to EXIT_MARGIN * tol."""
+    from lorads_tpu.alg.admm import EXIT_MARGIN
+
+    assert EXIT_MARGIN <= 0.95
+    problem = generators.lovasz_theta(n=60, avg_degree=6, seed=5)
+    res = _solve(problem)
+    assert res.status in (SolverStatus.PRIMAL_DUAL_OPTIMAL,
+                          SolverStatus.PRIMAL_OPTIMAL)
+    # theta has b_nrm1 == b_nrm_inf, so the exit band is pinf_l1
+    # directly: the margin keeps it strictly inside tol
+    assert res.pinf_l1 <= 0.95 * 1e-5

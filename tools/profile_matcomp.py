@@ -21,8 +21,8 @@ for tag in ("WARM", "STEADY"):
     import lorads_tpu.alg.solver as sv
     marks = {}
     orig_di = LoradsSolver.dual_infeasibility
-    def di(self, stats=None):
-        t = time.time(); out = orig_di(self, stats)
+    def di(self, stats=None, **k):
+        t = time.time(); out = orig_di(self, stats, **k)
         marks.setdefault("cert", 0.0); marks["cert"] += time.time() - t
         return out
     LoradsSolver.dual_infeasibility = di
