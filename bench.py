@@ -46,10 +46,22 @@ BASELINES = {
 CENSORED = {"theta800"}
 
 # headline first so the driver's metric is always captured even if the
-# budget truncates the sweep
-DEFAULT_FAMILIES = ("maxcut20000", "maxcut2000", "matcomp500",
-                    "matcomp2000", "theta300", "maxcut100000",
-                    "theta800")
+# budget truncates the sweep.
+#
+# Three families run from VENDORED REAL-FORMAT .dat-s files (VERDICT
+# r3 #7): the same generator instances as before, serialized by
+# write_sdpa and read back through the production SDPA reader — the
+# identical file feeds the reference binary for the baseline
+# (tools/compare_reference.py cross-checks DIMACS head-to-head).
+# Metric names stay the basename, so the per-round series continues.
+_FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "tests", "fixtures")
+DEFAULT_FAMILIES = ("maxcut20000",
+                    os.path.join(_FIX, "maxcut2000.dat-s"),
+                    os.path.join(_FIX, "matcomp500.dat-s"),
+                    "matcomp2000",
+                    os.path.join(_FIX, "theta300.dat-s"),
+                    "maxcut100000", "theta800")
 
 
 def make_problem(name):
@@ -94,7 +106,10 @@ def run_family(name, params):
     is_file = os.path.sep in name or name.endswith((".dat-s", ".rudy"))
     metric = (os.path.splitext(os.path.basename(name))[0]
               if is_file else name)
-    base = BASELINES.get(name)
+    # fixture-backed families fall back to their basename's baseline
+    # (same instance, measured on the same file via the reference
+    # binary; see BASELINE.md)
+    base = BASELINES.get(name) or BASELINES.get(metric)
     rec = {
         "metric": f"{metric}_time_to_1e-5",
         "value": round(steady, 3),

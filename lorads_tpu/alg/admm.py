@@ -45,6 +45,13 @@ RUNNING, CONVERGED, NUM_ERR, BAD_PD, EARLY_STOP, STALLED = 0, 1, 2, 3, 4, 5
 # rides the acceptance band's edge.
 EXIT_MARGIN = 0.95
 
+# Host-transfer layout of the chunk's "packed" output: one f64 vector
+# holds every scalar the host loop reads (f64 is exact for both the
+# f32 solve floats and the int32 counters) — a single device_get leaf
+# per dispatch, packed inside the jitted graph (see alm.PACK_F).
+PACK_F = ("rho", "pobj", "dobj", "pinf_l1", "pinf_inf", "gap")
+PACK_I = ("it", "cg_iter", "status")
+
 # Closed-form Sherman-Morrison solve for diag-identity cones (tests
 # flip this off to compare against the generic CG path).
 _CLOSED_FORM = True
@@ -569,7 +576,11 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
             status=jnp.zeros((), jnp.int32),
             cg_iter=jnp.zeros((), jnp.int32),
             count=jnp.zeros((), jnp.int32))
-        return jax.lax.while_loop(cond, body, carry)
+        out = jax.lax.while_loop(cond, body, carry)
+        out["packed"] = jnp.concatenate(
+            [jnp.stack([out[kk].astype(jnp.float64) for kk in PACK_F]),
+             jnp.stack([out[kk].astype(jnp.float64) for kk in PACK_I])])
+        return out
 
     return jax.jit(chunk, static_argnames=())
 
@@ -578,7 +589,9 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
 def admm_init_eval(pd: ProblemData, U: FactorVec, V: FactorVec, dual,
                    scale):
     """Entry evaluation (lorads_admm.c:47-58).  updateDimacsADMM leaves
-    the caches holding A(X_bar X_bar^T), so those are returned."""
+    the caches holding A(X_bar X_bar^T), so those are returned, plus a
+    single-leaf f64 pack of the four scalars for the host."""
     pobj, dobj, pinf, gap, locals_, lp_contrib, total = _obj_dimacs_xbar(
         pd, U, V, dual, scale)
-    return locals_, lp_contrib, total, pobj, dobj, pinf, gap
+    packed = jnp.stack([pobj, dobj, pinf, gap]).astype(jnp.float64)
+    return locals_, lp_contrib, total, packed

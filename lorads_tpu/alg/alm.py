@@ -112,7 +112,9 @@ def alm_obj_dimacs(pd: ProblemData, R: FactorVec, dual, scale):
     _, total = aop.auv(pd, R, R)
     pinf = aop.primal_infeas_l1(pd, total)
     gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
-    return pobj, dobj, total, pinf, gap
+    # in-jit f64 pack: the caller's host fetch is one leaf
+    packed = jnp.stack([pobj, dobj, pinf, gap]).astype(jnp.float64)
+    return total, packed
 
 
 def _inner_loop(pd: ProblemData, R: FactorVec, grad: FactorVec,
@@ -434,6 +436,17 @@ O_LIMIT, O_DONE, O_NUM_ERR, O_RANK, O_KMAX = range(5)
 # per-outer log record layout (device buffer -> host printout)
 LOG_COLS = 8  # k, inner, pobj, dobj, pinf_l1, pinf_inf, gap, rho
 
+# Host-transfer layout of outer_chunk's "packed" output: every scalar
+# the host needs rides ONE f64 vector (f64 holds both the f32 solve
+# floats and all int32 counters exactly), concatenated with the log
+# buffer — a single device_get leaf instead of three (each leaf is a
+# serialized ~6 ms tunnel round trip).  The pack is computed INSIDE
+# the jitted chunk so no eager stack/convert ops dispatch either.
+PACK_F = ("cert_val", "rho", "rho_factor", "pobj", "dobj",
+          "pinf_l1", "pinf_inf", "gap", "tau")
+PACK_I = ("rho_flag", "k", "max_sub", "update_max_sub_counter",
+          "rank_flag", "total_inner", "mexit", "oexit", "n_done")
+
 
 @partial(jax.jit, static_argnames=(
     "reopt", "high_acc_mode", "early_stop", "cones_ok", "max_outers"))
@@ -549,11 +562,14 @@ def outer_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
             gap = jnp.abs(pobj - dobj) / (
                 1.0 + jnp.abs(pobj) + jnp.abs(dobj))
             pinf_inf = pinf * (1.0 + pd.b_nrm1) / (1.0 + pd.b_nrm_inf)
-            # on phase exit keep the pre-refresh stats (finalize
-            # recomputes them fresh on host)
-            keep = oexit != O_LIMIT
-            constr_sum_n = jax.lax.cond(
-                keep, lambda _: m["constr_sum"], lambda _: total, None)
+            # exit stats are the refreshed ones (round 4): the host
+            # finalize used to re-dispatch alm_obj_dimacs for a fresh
+            # DIMACS on phase exit — the refresh above already
+            # computed exactly that at m["R"], so return it and the
+            # fresh constraint sum directly (one dispatch + one
+            # blocking fetch less per ALM phase; ~80 ms on the
+            # small-instance latency floor)
+            constr_sum_n = total
 
             # reopt / strict termination (lorads_alm.c:755-780, 1246)
             if reopt:
@@ -596,11 +612,8 @@ def outer_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
                 max_sub=max_sub, update_max_sub_counter=umsc,
                 rank_flag=rank_flag_n,
                 total_inner=c["total_inner"] + m["total_inner"],
-                pobj=jnp.where(keep, c["pobj"], pobj),
-                dobj=jnp.where(keep, c["dobj"], dobj),
-                pinf_l1=jnp.where(keep, m["pinf_l1"], pinf),
-                pinf_inf=jnp.where(keep, pinf_inf_m, pinf_inf),
-                gap=jnp.where(keep, c["gap"], gap),
+                pobj=pobj, dobj=dobj, pinf_l1=pinf,
+                pinf_inf=pinf_inf, gap=gap,
                 tau=m["tau"], mexit=mexit, oexit=oexit,
                 n_done=c["n_done"] + 1, logbuf=logbuf)
 
@@ -624,6 +637,10 @@ def outer_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
         n_done=jnp.zeros((), jnp.int32),
         logbuf=jnp.zeros((max_outers, LOG_COLS), dt))
     carry = jax.lax.while_loop(cond, body, carry)
+    carry["packed"] = jnp.concatenate(
+        [jnp.stack([carry[kk].astype(jnp.float64) for kk in PACK_F]),
+         jnp.stack([carry[kk].astype(jnp.float64) for kk in PACK_I]),
+         carry["logbuf"].astype(jnp.float64).ravel()])
     return carry
 
 
@@ -701,24 +718,28 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
     rho_factor_flag = 0
     k0 = stats.outer_iter
 
+    # cert_val stays a DEVICE scalar: float()ing it here forced a
+    # blocking ~60 ms sync on the recompute dispatch (round 4)
     constr_sum, grad, cert_val = alm_recompute(pd, R, dual, stats.rho)
-    cert_val = float(cert_val)
 
     def finalize(action: str) -> ALMResult:
-        pobj, dobj, total, pinf, gap = alm_obj_dimacs(pd, R, dual, scale_obj)
-        # one packed transfer (4 separate float()s cost ~3 extra
-        # serialized tunnel round trips)
-        pobj, dobj, pinf, gap = jax.device_get(
-            jnp.stack([pobj, dobj, pinf, gap]))
-        stats.pobj, stats.dobj = float(pobj), float(dobj)
-        stats.pinf_l1, stats.gap = float(pinf), float(gap)
-        stats.pinf_inf = stats.pinf_l1 * (1 + pd.b_nrm1) / (1 + pd.b_nrm_inf)
+        # stats were already refreshed from the exit dispatch's packed
+        # vector (the chunk returns fresh DIMACS at the exit iterate,
+        # see outer_chunk) — no extra dispatch needed.  Before any
+        # dispatch has run (max_alm_iter=0 edge), recompute fresh.
+        if stats.pobj >= 1e29:
+            _, packed = alm_obj_dimacs(pd, R, dual, scale_obj)
+            pobj, dobj, pinf, gap = jax.device_get(packed)
+            stats.pobj, stats.dobj = float(pobj), float(dobj)
+            stats.pinf_l1, stats.gap = float(pinf), float(gap)
+            stats.pinf_inf = stats.pinf_l1 * (1 + pd.b_nrm1) / (
+                1 + pd.b_nrm_inf)
         log(f"Exit ALM: OuterIter:{stats.outer_iter} "
             f"InnerIter:{stats.inner_iter} pObj:{stats.pobj:5.5e} "
             f"dObj:{stats.dobj:5.5e} pInf(1):{stats.pinf_l1:5.5e} "
             f"pdGap:{stats.gap:5.5e} rho:{stats.rho:3.2f} "
             f"Time:{time.time() - t0:3.2f}")
-        return ALMResult(action, R, dual, hist, total)
+        return ALMResult(action, R, dual, hist, constr_sum)
 
     k = stats.outer_iter
     dt = pd.rhs.dtype
@@ -767,21 +788,14 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
         # tunnel (measured via ArrayImpl._value tracing — 22 leaf
         # fetches were 130 ms of maxcut2000's 0.33 s solve), so the
         # 18 scalars ride one stacked vector + the log buffer
-        _SC_F = ("cert_val", "rho", "rho_factor", "pobj", "dobj",
-                 "pinf_l1", "pinf_inf", "gap", "tau")
-        # integer counters/flags ride their own int32 stack: a cast
-        # through the f32 solve dtype is only exact below 2^24, and a
-        # cumulative counter (total_inner) can cross that silently
-        _SC_I = ("rho_flag", "k", "max_sub", "update_max_sub_counter",
-                 "rank_flag", "total_inner", "mexit", "oexit", "n_done")
-        packed_f = jnp.stack([out[kk].astype(dt) for kk in _SC_F])
-        packed_i = jnp.stack([out[kk].astype(jnp.int32)
-                              for kk in _SC_I])
-        packed_fh, packed_ih, logbuf_h = jax.device_get(
-            (packed_f, packed_i, out["logbuf"]))
-        sc = dict(zip(_SC_F, packed_fh))
-        sc.update(zip(_SC_I, packed_ih))
-        sc["logbuf"] = logbuf_h
+        # single-leaf f64 transfer (see PACK_F/PACK_I): int32 counters
+        # are exact in f64, unlike the old through-the-solve-dtype
+        # cast (only exact below 2^24 at f32)
+        ph = jax.device_get(out["packed"])
+        nf, ni = len(PACK_F), len(PACK_I)
+        sc = dict(zip(PACK_F, ph[:nf]))
+        sc.update(zip(PACK_I, ph[nf:nf + ni]))
+        sc["logbuf"] = ph[nf + ni:].reshape(-1, LOG_COLS)
         # resize the next dispatch's budget from this one's measured
         # per-inner-iteration wall (target ~20 s; growth-capped 2x so
         # a compile-laden first measurement only delays ramp-up)

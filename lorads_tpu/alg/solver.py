@@ -305,8 +305,14 @@ class LoradsSolver:
 
     def _init_vars(self):
         self.R = self._rand_fv()
-        self.U = self._rand_fv()
-        self.V = self._rand_fv()
+        # U/V start as aliases of R: the reference draws three
+        # independent random inits (lorads_solver.c:406-469) but the
+        # handoff overwrites V<-R, U<-V before ADMM ever reads them
+        # (LORADS_ALMtoADMM, lorads_solver.c:968-1004), so the extra
+        # draws only cost two [B, n, r] device uploads per solve —
+        # measurable on the small-instance latency floor (maxcut2000).
+        self.U = self.R
+        self.V = self.R
         # DUAL_U_V consensus terms: SDP blocks zero-initialized, LP
         # columns random, exactly as the reference allocates them
         # (lorads_solver.c:659-667 / 588-606); never updated.
@@ -467,9 +473,10 @@ class LoradsSolver:
                      f"at rho {stats.rho:.3f}")
         # re-evaluate stats at the restored point so downstream phases
         # see the true state, not the diverged one
-        _, _, _, pobj, dobj, pinf, gap = admm_mod.admm_init_eval(
+        _, _, _, packed = admm_mod.admm_init_eval(
             self.pd, self.U, self.V, self.dual,
             jnp.asarray(self.scale_obj_his, self.dtype))
+        pobj, dobj, pinf, gap = jax.device_get(packed)
         stats.pobj, stats.dobj = float(pobj), float(dobj)
         stats.pinf_l1, stats.gap = float(pinf), float(gap)
         stats.pinf_inf = stats.pinf_l1 * (1 + self.pd.b_nrm1) / (
@@ -484,10 +491,11 @@ class LoradsSolver:
         chunk_fn = self._admm_chunk_reopt if reopt else self._admm_chunk
         t0 = time.time()
 
-        locals_, lp_contrib, total, pobj, dobj, pinf, gap = \
+        locals_, lp_contrib, total, packed = \
             admm_mod.admm_init_eval(self.pd, self.U, self.V, self.dual,
                                     jnp.asarray(self.scale_obj_his,
                                                 self.dtype))
+        pobj, dobj, pinf, gap = jax.device_get(packed)
         stats.pobj, stats.dobj = float(pobj), float(dobj)
         stats.pinf_l1, stats.gap = float(pinf), float(gap)
         stats.pinf_inf = stats.pinf_l1 * (1 + self.pd.b_nrm1) / (
@@ -561,17 +569,14 @@ class LoradsSolver:
                 best_gap=out["best_gap"], since_best=out["since_best"],
                 best_pinf=out["best_pinf"],
                 since_pinf=out["since_pinf"])
-            # one packed transfer (see alm.py: each device_get leaf is
-            # a serialized ~6 ms tunnel round trip); integer counters
-            # in their own int32 stack (an f32 cast is exact only
-            # below 2^24 — cg_iter totals can cross that)
-            _KF = ("rho", "pobj", "dobj", "pinf_l1", "pinf_inf", "gap")
-            _KI = ("it", "cg_iter", "status")
-            fh, ih = jax.device_get(
-                (jnp.stack([out[k].astype(dt) for k in _KF]),
-                 jnp.stack([out[k].astype(jnp.int32) for k in _KI])))
-            scalars = dict(zip(_KF, fh))
-            scalars.update(zip(_KI, ih))
+            # one packed SINGLE-LEAF transfer (see alm.PACK_F): the
+            # f64 pack is computed inside the jitted chunk, so the
+            # host fetch is one serialized tunnel round trip and the
+            # int32 counters are exact (f64 holds int32 exactly)
+            ph = jax.device_get(out["packed"])
+            scalars = dict(zip(admm_mod.PACK_F, ph[:len(admm_mod.PACK_F)]))
+            scalars.update(zip(admm_mod.PACK_I,
+                               ph[len(admm_mod.PACK_F):]))
             wall = time.time() - t_disp
             stats.iter = int(scalars["it"])
             stats.cg_iter = int(scalars["cg_iter"])

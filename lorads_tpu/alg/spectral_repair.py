@@ -30,6 +30,7 @@ only (a dual move changes LP column slacks).
 from __future__ import annotations
 
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +66,104 @@ def _cross_pieces(bk, Vi, Vj):
         return (jnp.sum(pat.obj_inner(bk, uv)),
                 pat.scatter_constr(bk, pat.constr_vals(bk, uv)))
     return jax.vmap(one)(Vi, Vj)
+
+
+@partial(jax.jit, static_argnames=("n_iters", "con_pad"))
+def _active_set_device(bk, Bmat, p_mask, dual0, rhs, delta, sigma,
+                       n_iters=12, con_pad=8):
+    """One repair round's ACTIVE-SET loop as a single device program
+    (round 4; VERDICT r3 #5).  The host version dispatched 2 kernels +
+    a host eigh + several transfers per inner iteration — ~5 s of
+    theta300's 6.4 s steady solve was this loop's tunnel latency.
+
+    Single-bucket form (the eigh-rescue/theta case).  Per iteration,
+    entirely on device:
+      P = B^T (C - A^*(dual0 + d)) B per block, masked to each
+      block's real basis width; batched eigh; the con_pad lowest
+      eigenpairs ACROSS the bucket's blocks become candidate
+      directions (evals < delta); their affine pieces
+      c_u = <C, uu^T>, g_u = A(uu^T) append to a fixed-width
+      constraint buffer; a b-orthogonal proximally-regularized
+      least-squares step moves every active Rayleigh quotient to
+      delta.  Stops early when no eigenvalue sits below delta.
+
+    Returns one packed f64 vector [d_tot (m) | n_cons | n_iter_used]
+    so the host fetch is a single leaf.
+    """
+    b_eff, n, P = Bmat.shape
+    m = rhs.shape[0]
+    dt = Bmat.dtype
+    R_rows = n_iters * con_pad
+    BIG = jnp.asarray(1e6, dt)
+    bb = jnp.vdot(rhs, rhs)
+    m2 = p_mask[:, :, None] * p_mask[:, None, :]          # [b_eff,P,P]
+    eyeP = jnp.eye(P, dtype=dt)[None]
+    onehot_rows = jnp.arange(b_eff)
+
+    def pieces(Vq):
+        # affine pieces of sym(u u^T) for one padded direction slab
+        uv = pat.uvt(bk, Vq, Vq)
+        return (jnp.sum(pat.obj_inner(bk, uv)),
+                pat.scatter_constr(bk, pat.constr_vals(bk, uv)))
+
+    def body(c):
+        d_tot, G, cs, rv, it, _ = c
+        dual_cur = dual0 + d_tot
+        # projected slack, masked to real basis widths
+        w_loc = pat.gather_w(bk, -dual_cur)
+        W = pat.build_w(bk, w_loc)
+        SB = pat.w_mul(bk, W, Bmat)
+        Pm = jnp.einsum("bnp,bnq->bpq", Bmat, SB,
+                        precision=jax.lax.Precision.HIGHEST)
+        Pm = 0.5 * (Pm + jnp.swapaxes(Pm, 1, 2))
+        Pm = Pm * m2 + BIG * (1.0 - m2) * eyeP
+        evals, Wv = jnp.linalg.eigh(Pm)                    # ascending
+        flat = evals.reshape(-1)                           # [b_eff*P]
+        _, idx = jax.lax.top_k(-flat, con_pad)             # lowest k
+        ev_sel = flat[idx]
+        bi, ci = idx // P, idx % P
+        valid = (ev_sel < delta * (1 - 1e-9)).astype(dt)   # [con_pad]
+        # u = B[bi] @ Wv[bi,:,ci], one per direction
+        u_q = jax.vmap(lambda b, c_: Bmat[b] @ Wv[b, :, c_])(bi, ci)
+        slab = (onehot_rows[None, :] == bi[:, None]).astype(dt)
+        Vq = u_q[:, None, :, None] * slab[:, :, None, None]
+        cu, gu = jax.vmap(pieces)(Vq)                      # [k], [k,m]
+        gu = gu * valid[:, None]
+        # invalid rows: g = 0 and cs = delta makes their target t = 0
+        cs_q = jnp.where(valid > 0, cu, delta)
+        row0 = it * con_pad
+        zero = jnp.zeros((), jnp.int32)
+        G = jax.lax.dynamic_update_slice(G, gu, (row0, zero))
+        cs = jax.lax.dynamic_update_slice(cs, cs_q, (row0,))
+        rv = jax.lax.dynamic_update_slice(rv, valid, (row0,))
+        # b-orthogonal, proximally regularized LS step on the FULL
+        # buffer (inactive rows are zero; they get alpha = 0)
+        Gp = jnp.where(bb > 0,
+                       G - (G @ rhs / jnp.maximum(bb, 1e-300))[:, None]
+                       * rhs[None], G)
+        rq = cs - G @ dual_cur
+        t = rq - jnp.maximum(rq, delta)
+        M = Gp @ Gp.T
+        nval = jnp.maximum(jnp.sum(rv), 1.0)
+        reg = sigma * jnp.maximum(jnp.trace(M) / nval, 1e-30)
+        alpha = jnp.linalg.solve(
+            M + reg * jnp.eye(R_rows, dtype=dt), t)
+        # no new directions -> the host loop breaks WITHOUT a step;
+        # gate the update the same way (the done flag exits next)
+        none_new = jnp.sum(valid) == 0
+        d_tot = jnp.where(none_new, d_tot, d_tot + Gp.T @ alpha)
+        return (d_tot, G, cs, rv, it + 1, none_new)
+
+    def cond(c):
+        return (c[4] < n_iters) & (~c[5])
+
+    init = (jnp.zeros((m,), dt), jnp.zeros((R_rows, m), dt),
+            jnp.zeros((R_rows,), dt), jnp.zeros((R_rows,), dt),
+            jnp.zeros((), jnp.int32), jnp.asarray(False))
+    d_tot, _, _, rv, it, _ = jax.lax.while_loop(cond, body, init)
+    return jnp.concatenate([
+        d_tot.astype(jnp.float64),
+        jnp.stack([jnp.sum(rv), it.astype(dt)]).astype(jnp.float64)])
 
 
 def try_spectral_repair(solver, admm_stats) -> bool:
@@ -181,15 +280,41 @@ def try_spectral_repair(solver, admm_stats) -> bool:
                 Bm[bi, :, : Bb.shape[1]] = Bb
                 p_real[(j, bi)] = Bb.shape[1]
             Bmats[j] = jnp.asarray(Bm, solver.dtype)
-        # active-set loop: P's eigen-directions (host eigh of [p, p])
-        # give constraints whose affine pieces c_u, g_u come from one
-        # SMALL padded rank-1 dispatch per iteration; P itself is
-        # re-evaluated on device at the moved dual (small dispatches,
-        # [p, p] transfers)
+        CON_PAD = 8
+        if len(Bmats) == 1:
+            # Fused path (round 4): the whole active-set loop runs as
+            # ONE device program — the host version below cost ~5 s
+            # of theta300's steady solve in per-iteration dispatch +
+            # transfer latency alone.  Semantics match the host loop
+            # (same projected-slack model, same b-orthogonal
+            # regularized step); the only deltas are the per-BUCKET
+            # direction cap applied across blocks via top_k and the
+            # masked-eigh padding.
+            j = next(iter(Bmats))
+            bk = solver.pd.buckets[j]
+            Bm = Bmats[j]
+            pm = np.zeros(Bm.shape[:1] + (P_CAP,))
+            for (jj, bi), pw in p_real.items():
+                if jj == j:
+                    pm[bi, :pw] = 1.0
+            out = jax.device_get(_active_set_device(
+                bk, Bm, jnp.asarray(pm, solver.dtype), solver.dual,
+                jnp.asarray(b, solver.dtype),
+                jnp.asarray(delta, solver.dtype),
+                jnp.asarray(sigma, solver.dtype)))
+            d_tot = out[:-2]
+            n_cons = int(out[-2])
+            solver.dual = solver.dual + jnp.asarray(d_tot, solver.dtype)
+            continue
+        # host active-set loop (multi-bucket fallback): P's
+        # eigen-directions (host eigh of [p, p]) give constraints
+        # whose affine pieces c_u, g_u come from one SMALL padded
+        # rank-1 dispatch per iteration; P itself is re-evaluated on
+        # device at the moved dual (small dispatches, [p, p]
+        # transfers)
         lam_h = np.asarray(solver.dual, np.float64)
         d_tot = np.zeros(solver.pd.m)
         cons_c, cons_g = [], []
-        CON_PAD = 8
         for _ in range(12):
             dual_cur = jnp.asarray(lam_h + d_tot, solver.dtype)
             new_dirs = []          # (j, bi, u)

@@ -80,10 +80,16 @@ def make_problem(mode: str):
         return generators.random_multiblock(n_blocks=32, dim=dim, m=64,
                                             density=0.15, seed=5)
     if mode == "sp":
-        # one large sparse cone: the union pattern shards
-        return generators.maxcut(n=20000, avg_degree=8, seed=7)
+        # one large sparse cone: the union pattern shards.  n/degree
+        # tunable: scaling efficiency is a function of the sharded
+        # pattern work (~ n*deg/2 rows) vs the REPLICATED factor-side
+        # algebra (~ n*r elements — L-BFGS two-loop, line search).
+        n = int(os.environ.get("SCALE_SP_N", "20000"))
+        deg = int(os.environ.get("SCALE_SP_DEG", "8"))
+        return generators.maxcut(n=n, avg_degree=deg, seed=7)
     # tp: one large dense cone: n x n intermediates shard by row slab
-    return generators.lovasz_theta(n=500, avg_degree=12, seed=9)
+    n = int(os.environ.get("SCALE_TP_N", "500"))
+    return generators.lovasz_theta(n=n, avg_degree=12, seed=9)
 
 
 def time_mode(mode: str, dev_counts, n_iter: int):
@@ -187,6 +193,22 @@ def pinned_dp_probe(dev_counts=(1, 2), dim=96, n_iter=24, repeats=2):
     """dp pinned probe at a tunable block dim (see pinned_probe)."""
     return pinned_probe("dp", dev_counts, n_iter, repeats,
                         extra_env={"SCALE_DP_DIM": str(dim)})
+
+
+def pinned_sp_probe(dev_counts=(1, 2), n=20000, deg=8, n_iter=24,
+                    repeats=2):
+    """sp pinned probe at a tunable Max-Cut size/degree (see
+    pinned_probe).  Efficiency depends on the sharded-pattern :
+    replicated-factor work ratio ~ deg/(2r)."""
+    return pinned_probe("sp", dev_counts, n_iter, repeats,
+                        extra_env={"SCALE_SP_N": str(n),
+                                   "SCALE_SP_DEG": str(deg)})
+
+
+def pinned_tp_probe(dev_counts=(1, 2), n=500, n_iter=24, repeats=2):
+    """tp pinned probe at a tunable theta dim (see pinned_probe)."""
+    return pinned_probe("tp", dev_counts, n_iter, repeats,
+                        extra_env={"SCALE_TP_N": str(n)})
 
 
 def main():
