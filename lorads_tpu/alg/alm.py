@@ -137,9 +137,10 @@ def _inner_loop(pd: ProblemData, R: FactorVec, grad: FactorVec,
         caches = aop.gather_caches(pd, R)
 
     def conv(pinf_l1):
-        if not check_pinf_conv:
-            return jnp.asarray(False)
-        return (pinf_l1 * pinf_scale <= phase1_tol) & gap_ok
+        # check_pinf_conv may be a Python bool (static callers) or a
+        # traced bool (outer_chunk's reopt-as-traced-flag collapse)
+        return (jnp.asarray(check_pinf_conv)
+                & (pinf_l1 * pinf_scale <= phase1_tol) & gap_ok)
 
     def cond(carry):
         (R_, g_, h_, ca_, cs_, cert_, pinf_, it, tau, num_err,
@@ -312,10 +313,10 @@ def _middle_and_rho(pd: ProblemData, R: FactorVec, grad: FactorVec,
                               i32(M_TAU_SMALL), exit2)
             pinf_inf = info["pinf_l1"] * (1.0 + pd.b_nrm1) / (
                 1.0 + pd.b_nrm_inf)
-            if check_pinf_conv:
-                conv = (pinf_inf <= phase1_tol) & gap_ok
-                exit2 = jnp.where((exit2 == M_RUNNING) & conv,
-                                  i32(M_PINF_CONV), exit2)
+            conv = (jnp.asarray(check_pinf_conv)
+                    & (pinf_inf <= phase1_tol) & gap_ok)
+            exit2 = jnp.where((exit2 == M_RUNNING) & conv,
+                              i32(M_PINF_CONV), exit2)
 
             # dual ascent + fresh gradient (lorads_alm.c:1151-1153);
             # skipped when the phase exits here (num_err / converged),
@@ -339,8 +340,10 @@ def _middle_and_rho(pd: ProblemData, R: FactorVec, grad: FactorVec,
                 local <= 20, i32(EASY),
                 jnp.where(local <= 100, i32(MEDIUM),
                           jnp.where(local < 400, i32(HARD), i32(SUPER))))
-            if not check_pinf_conv:  # reopt grades SUPER as HARD
-                difficulty = jnp.minimum(difficulty, i32(HARD))
+            # reopt grades SUPER as HARD
+            difficulty = jnp.where(jnp.asarray(check_pinf_conv),
+                                   difficulty,
+                                   jnp.minimum(difficulty, i32(HARD)))
             rank_inc = jnp.where(
                 local <= 20, 0,
                 jnp.where(local <= 100, 2,
@@ -448,8 +451,12 @@ PACK_I = ("rho_flag", "k", "max_sub", "update_max_sub_counter",
           "rank_flag", "total_inner", "mexit", "oexit", "n_done")
 
 
+# reopt rides as a TRACED boolean (VERDICT r3 #4, same collapse as
+# the ADMM chunk): the init and reopt ALM phases share ONE compiled
+# graph per dtype — everything reopt changes (pinf-conv exits,
+# difficulty grading, loop-top break, termination) is a scalar select.
 @partial(jax.jit, static_argnames=(
-    "reopt", "high_acc_mode", "early_stop", "cones_ok", "max_outers"))
+    "high_acc_mode", "early_stop", "cones_ok", "max_outers"))
 def outer_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
                 hist: LBFGSHistory, dual, constr_sum, cert_val, rho,
                 rho_update_factor, rho_factor_flag, k, k0, max_alm_iter,
@@ -476,7 +483,7 @@ def outer_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
         # initialize the XLA backend) at module-import time, breaking
         # jax.distributed.initialize-before-any-jax-call workflows
         inner_budget = i32(2 ** 30)
-    check_pinf_conv = not reopt
+    check_pinf_conv = jnp.logical_not(reopt)
 
     def cond(c):
         # inner_budget: traced per-dispatch L-BFGS iteration budget
@@ -490,14 +497,12 @@ def outer_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
 
     def body(c):
         # ---- loop-top break (k budget) ----
-        if reopt:
-            brk = ((c["k"] > max_alm_iter)
-                   & (c["pinf_inf"] <= phase1_tol)
-                   & ((c["gap"] <= jnp.maximum(phase1_tol,
-                                               phase2_tol * 5))
-                      if high_acc_mode else jnp.asarray(True)))
-        else:
-            brk = c["k"] > max_alm_iter
+        gap_brk = ((c["gap"] <= jnp.maximum(phase1_tol,
+                                            phase2_tol * 5))
+                   if high_acc_mode else jnp.asarray(True))
+        brk = (c["k"] > max_alm_iter) & jnp.where(
+            jnp.asarray(reopt),
+            (c["pinf_inf"] <= phase1_tol) & gap_brk, True)
 
         def do_break(c):
             return dict(c, oexit=i32(O_KMAX))
@@ -548,10 +553,9 @@ def outer_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
             k_n = jnp.where(phase_exit, c["k"], c["k"] + 1)
 
             # init-mode fast termination (pre-DIMACS, lorads_alm.c:1208)
-            if not reopt:
-                fast_done = ((oexit == O_LIMIT)
-                             & (pinf_inf_m <= phase1_tol) & gap_ok)
-                oexit = jnp.where(fast_done, i32(O_DONE), oexit)
+            fast_done = (jnp.logical_not(reopt) & (oexit == O_LIMIT)
+                         & (pinf_inf_m <= phase1_tol) & gap_ok)
+            oexit = jnp.where(fast_done, i32(O_DONE), oexit)
 
             # objective/DIMACS refresh (updateDimacsALM + calObj;
             # replaces the constraint-value cache like the reference)
@@ -572,18 +576,18 @@ def outer_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
             constr_sum_n = total
 
             # reopt / strict termination (lorads_alm.c:755-780, 1246)
-            if reopt:
-                if early_stop:
-                    term = ((pinf <= phase1_tol)
-                            & (gap <= jnp.maximum(phase1_tol,
-                                                  phase2_tol * 5))
-                            & (k_n - k0 > 1))
-                else:
-                    term = ((gap <= phase2_tol) & (pinf <= phase2_tol)
-                            & (k_n - k0 > 1))
+            if early_stop:
+                term_reopt = ((pinf <= phase1_tol)
+                              & (gap <= jnp.maximum(phase1_tol,
+                                                    phase2_tol * 5))
+                              & (k_n - k0 > 1))
             else:
-                term = ((gap <= phase1_tol * 1e-3)
-                        & (pinf <= phase1_tol * 1e-3))
+                term_reopt = ((gap <= phase2_tol)
+                              & (pinf <= phase2_tol)
+                              & (k_n - k0 > 1))
+            term = jnp.where(jnp.asarray(reopt), term_reopt,
+                             (gap <= phase1_tol * 1e-3)
+                             & (pinf <= phase1_tol * 1e-3))
             oexit = jnp.where((oexit == O_LIMIT) & term, i32(O_DONE),
                               oexit)
 
