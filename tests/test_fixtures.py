@@ -125,3 +125,19 @@ def test_cli_reads_fixture(capsys):
     assert main([fix("hand_multiblock.dat-s"), "--quiet"]) == 0
     out = capsys.readouterr().out
     assert "optimal" in out
+
+
+@pytest.mark.parametrize("name,m,nblk", [
+    ("maxcut2000.dat-s", 2000, 1),
+    ("theta300.dat-s", 1201, 1),
+    ("matcomp500.dat-s", 29933, 1),
+])
+def test_bench_fixture_integrity(name, m, nblk):
+    """The vendored mid-size bench fixtures (VERDICT r3 #7) parse
+    through the production reader with the expected shapes — they are
+    the instances bench.py's maxcut2000/theta300/matcomp500 families
+    solve and the reference binary's baseline inputs (BASELINE.md
+    round-4 table)."""
+    prob = read_sdpa(fix(name))
+    assert prob.m == m
+    assert prob.n_sdp_blocks == nblk
