@@ -146,8 +146,16 @@ def _active_set_device(bk, Bmat, p_mask, dual0, rhs, delta, sigma,
         M = Gp @ Gp.T
         nval = jnp.maximum(jnp.sum(rv), 1.0)
         reg = sigma * jnp.maximum(jnp.trace(M) / nval, 1e-30)
+        # TPU's LuDecomposition custom call is F32-only (an f64 solve
+        # fails to COMPILE on f64-escalated solves); the tiny
+        # regularized system is scale-normalized and solved at f32 —
+        # the step feeds a proximal loop that re-measures dinf and
+        # backtracks, so f32 step error is immaterial.
+        Mn = M + reg * jnp.eye(R_rows, dtype=dt)
+        sc = jnp.maximum(jnp.max(jnp.abs(Mn)), 1e-30)
         alpha = jnp.linalg.solve(
-            M + reg * jnp.eye(R_rows, dtype=dt), t)
+            (Mn / sc).astype(jnp.float32),
+            (t / sc).astype(jnp.float32)).astype(dt)
         # no new directions -> the host loop breaks WITHOUT a step;
         # gate the update the same way (the done flag exits next)
         none_new = jnp.sum(valid) == 0
