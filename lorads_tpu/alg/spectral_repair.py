@@ -215,7 +215,11 @@ def try_spectral_repair(solver, admm_stats) -> bool:
         traj.append(dinf)
         if dinf < best_dinf:
             best_dinf, best_dual = dinf, solver.dual
-        if dinf <= band:
+        # keep refining to 0.9*band when rounds are cheap so the
+        # REPORTED dinf doesn't ride the acceptance band's edge
+        # (acceptance itself stays <= band); same margin rationale as
+        # admm.EXIT_MARGIN (VERDICT r3 #6)
+        if dinf <= 0.9 * band:
             break
         restored = False
         if dinf > last_dinf * 1.02 and last_dual is not None:
