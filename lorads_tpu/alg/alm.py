@@ -436,6 +436,16 @@ def middle_chunk(pd: ProblemData, R: FactorVec, grad: FactorVec,
 # Outer-chunk exit codes.
 O_LIMIT, O_DONE, O_NUM_ERR, O_RANK, O_KMAX = range(5)
 
+# ALM grind escalation threshold (auto-history solves): cumulative
+# inner iterations in one init ALM phase beyond which the solver
+# restarts the phase with L-BFGS history 4 (see alm_optimize).
+GRIND_INNER_THRESHOLD = 6000
+# single-outer grind symptom: one outer's middle loop needing this
+# many L-BFGS iterations marks the short-history ill-conditioned
+# regime directly (theta n=800 bench instance: 4005 inners in ONE
+# outer at history 2; normal outers run 15-400)
+GRIND_OUTER_THRESHOLD = 1500
+
 # per-outer log record layout (device buffer -> host printout)
 LOG_COLS = 8  # k, inner, pobj, dobj, pinf_l1, pinf_inf, gap, rho
 
@@ -683,11 +693,15 @@ class EmaDetector:
 
 @dataclasses.dataclass
 class ALMResult:
-    action: str              # "done" | "aug_rank" | "num_err" | "time_out"
+    action: str   # "done" | "aug_rank" | "num_err" | "time_out" | "regrind"
     R: FactorVec
     dual: jnp.ndarray
     hist: LBFGSHistory
     constr_sum: jnp.ndarray
+    # a single outer iteration needed >= GRIND_OUTER_THRESHOLD inner
+    # iterations in this phase (L-BFGS grind symptom; lets the
+    # aug_rank path escalate the history together with the rank)
+    super_outer: bool = False
 
 
 def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
@@ -754,8 +768,20 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
     # phase inherits what the initial phase learned
     inner_budget = getattr(solver_ctx, "alm_inner_budget", 8000)
 
+    max_outer_inner = 0
     while True:
         t_disp = time.time()
+        # while history escalation is still possible, make sure the
+        # host regains control exactly when the grind threshold
+        # crosses — one adaptive dispatch can otherwise burn tens of
+        # thousands of inner iterations before the check below runs
+        # (measured: theta n=800's grind completed inside two large
+        # dispatches without ever returning at the threshold)
+        budget_eff = inner_budget
+        if (getattr(solver_ctx, "_lbfgs_auto", False)
+                and solver_ctx.lbfgs_len < 4):
+            budget_eff = max(1, min(
+                budget_eff, GRIND_INNER_THRESHOLD + 1 - stats.inner_iter))
         out = outer_chunk(
             pd, R, grad, hist, dual, constr_sum,
             jnp.asarray(cert_val, dt), jnp.asarray(stats.rho, dt),
@@ -779,7 +805,7 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
             jnp.asarray(params.end_tau_tol, dt),
             jnp.asarray(params.phase1_tol, dt),
             jnp.asarray(params.phase2_tol, dt),
-            inner_budget=jnp.asarray(inner_budget, jnp.int32),
+            inner_budget=jnp.asarray(budget_eff, jnp.int32),
             reopt=reopt, high_acc_mode=params.high_acc_mode,
             early_stop=early_stop, cones_ok=cones_ok,
             max_outers=max_outers)
@@ -831,6 +857,7 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
         acc = 0
         for row in sc["logbuf"][: int(sc["n_done"])]:
             acc += int(row[1])
+            max_outer_inner = max(max_outer_inner, int(row[1]))
             log(f"ALM Outer:{int(row[0])} Inner:{inner_before + acc} "
                 f"pObj:{row[2]:5.5e} dObj:{row[3]:5.5e} "
                 f"pInf(1):{row[4]:5.5e} pInf(Inf):{row[5]:5.5e} "
@@ -839,12 +866,32 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
         if mexit == M_TAU_SMALL:
             log(f"update rho since tau is too small: {stats.tau:5.3e}")
 
+        super_outer = max_outer_inner >= GRIND_OUTER_THRESHOLD
         if oexit == O_NUM_ERR:
             return finalize("num_err")
         if oexit in (O_DONE, O_KMAX):
             return finalize("done")
         if oexit == O_RANK:
-            return ALMResult("aug_rank", R, dual, hist, constr_sum)
+            return ALMResult("aug_rank", R, dual, hist, constr_sum,
+                             super_outer=super_outer)
         if time.time() - time_solve_start >= params.time_sec_limit:
             return finalize("time_out")
+        # ALM grind escalation (round 4; auto-history solves only):
+        # an instance whose L-BFGS middle loops pile up thousands of
+        # inner iterations under the short auto history is in the
+        # ill-conditioned regime where a longer memory pays —
+        # measured on the bench theta n=800 instance: 12198 inners /
+        # 46.5 s at history 2 vs 3052 inners / 3.6 s at history 4
+        # (other theta seeds/sizes never cross the threshold; they
+        # finish in 2-3.5k inners; on THIS instance the grind sits in
+        # the REOPT rounds' rank-growing re-polish, so the check
+        # applies to both phases).  The solver restarts the phase
+        # from the CURRENT iterate with history 4; explicit
+        # lbfgs_list_length keeps exact reference behavior.
+        if (getattr(solver_ctx, "_lbfgs_auto", False)
+                and solver_ctx.lbfgs_len < 4
+                and (stats.inner_iter >= GRIND_INNER_THRESHOLD
+                     or super_outer)):
+            return ALMResult("regrind", R, dual, hist, constr_sum,
+                             super_outer=super_outer)
         # oexit == O_LIMIT: dispatch budget reached, keep going

@@ -116,14 +116,17 @@ class LoradsSolver:
         self.ranks = [bp.rank for bp in self.ps.buckets]
         self.rank_maxes = [bp.rank_max for bp in self.ps.buckets]
         # None -> structure-based auto (see LoradsParams): large
-        # dense-mode blocks (the theta shape) need the short reference
-        # history; pure sparse-pattern problems run faster with 3.
+        # dense-mode blocks (the theta shape) take the LONG history —
+        # the ill-conditioned high-rho regime grinds catastrophically
+        # at the reference's 2 (round-4 re-measurement) — while pure
+        # sparse-pattern problems run fastest with 3.
         self.lbfgs_len = self.params.lbfgs_list_length
+        self._lbfgs_auto = self.lbfgs_len is None
         if self.lbfgs_len is None:
             big_dense = any(
                 bp.dense and bp.n > self.params.dense_dim_threshold
                 for bp in self.ps.buckets)
-            self.lbfgs_len = 2 if big_dense else 3
+            self.lbfgs_len = 4 if big_dense else 3
         self.log = print if self.params.verbose else (lambda *a, **k: None)
         # dispatch-granularity autotuning: on the remote-TPU tunnel
         # per-dispatch latency dominates small instances, so they get
@@ -388,9 +391,27 @@ class LoradsSolver:
             self.pobj, self.dobj = stats.pobj, stats.dobj
             self.gap, self.pinf_l1 = stats.gap, stats.pinf_l1
             if res.action == "aug_rank":
+                if (self._lbfgs_auto and self.lbfgs_len < 4
+                        and res.super_outer):
+                    # the rank trigger fired off a SUPER outer: grow
+                    # the L-BFGS memory together with the rank (the
+                    # grind symptom, see alm.GRIND_OUTER_THRESHOLD)
+                    self.lbfgs_len = 4
+                    self.log("ALM grind outer detected: escalating "
+                             "L-BFGS history to 4 with the rank growth")
                 self.log(f"increase the rank, factor:1.5 "
                          f"(ranks {self.ranks} -> caps {self.rank_maxes})")
                 self.aug_rank(1.5)
+                continue
+            if res.action == "regrind":
+                # ALM grind escalation (see alm.py): restart the
+                # phase from the current iterate with a longer
+                # L-BFGS memory
+                self.lbfgs_len = 4
+                self.hist = make_history(self.R, self.lbfgs_len)
+                self.log("ALM grind detected (>=6000 inner "
+                         "iterations): escalating L-BFGS history to "
+                         "4 and continuing from the current iterate")
                 continue
             return res.action
 

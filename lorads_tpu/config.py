@@ -68,10 +68,15 @@ class LoradsParams:
     # Reference default is 2 (main.c:31).  None -> auto: 3 for pure
     # sparse-pattern problems (maxcut n=2000 0.42s vs 1.08s, n=20000
     # 2.23s vs 2.69s, matcomp500 ~equal — the extra history costs only
-    # small VPU axpys while cutting inner iterations), but 2 when any
-    # large dense-mode block is present: on Lovász-theta the longer
-    # history derails the trajectory outright (theta800 84s certified
-    # at L=2 vs max_iter failure at L=3; theta300 34s vs 38s).
+    # small VPU axpys while cutting inner iterations), and 4 when any
+    # large dense-mode block is present.  (History: rounds 1-2
+    # measured L=2 best for theta — with THAT era's solver, L=3
+    # failed theta800 outright.  Re-measured in round 4 with the
+    # current pipeline: theta800 seed-5 grinds 12198 inners / 46.5 s
+    # at L=2 vs 3052 / 3.6 s at L=4; theta300 2.2 s at L=2 vs 3.1 s
+    # at L=4; theta500/600/other-seed theta800 within ~15% either
+    # way.  L=4 minimizes the worst case by 13x for a <1 s cost on
+    # the one family that mildly prefers 2; docs/ROUND4_NOTES.md.)
     lbfgs_list_length: Optional[int] = None
     end_tau_tol: float = 1e-16
     end_alm_sub_tol: float = 1e-10

@@ -402,15 +402,16 @@ def test_dual_uv_variant():
 
 
 def test_lbfgs_length_auto_by_structure():
-    """None -> 2 when a large dense-mode block is present (theta shape),
-    else 3; explicit value always wins (reference flag semantics)."""
+    """None -> 4 when a large dense-mode block is present (theta
+    shape; round-4 re-measurement, see LoradsParams), else 3;
+    explicit value always wins (reference flag semantics)."""
     from lorads_tpu import LoradsParams
     from lorads_tpu.alg.solver import LoradsSolver
     from lorads_tpu.io import generators
     mc = generators.maxcut(n=100, avg_degree=5, seed=1)
     th = generators.lovasz_theta(n=60, avg_degree=5, seed=1)
     assert LoradsSolver(mc, LoradsParams(verbose=False)).lbfgs_len == 3
-    assert LoradsSolver(th, LoradsParams(verbose=False)).lbfgs_len == 2
+    assert LoradsSolver(th, LoradsParams(verbose=False)).lbfgs_len == 4
     assert LoradsSolver(
         th, LoradsParams(verbose=False, lbfgs_list_length=5)).lbfgs_len == 5
 
@@ -594,3 +595,33 @@ def test_phase2_exit_margin():
     # theta has b_nrm1 == b_nrm_inf, so the exit band is pinf_l1
     # directly: the margin keeps it strictly inside tol
     assert res.pinf_l1 <= 0.95 * 1e-5
+
+
+def test_alm_grind_escalates_history():
+    """Auto-history solves that pile up ALM inner iterations restart
+    the phase with L-BFGS history 4 (round 4; the bench theta n=800
+    instance ground 12k inners / 46.5s at history 2 vs 3k / 3.6s at
+    4).  Simulated by entering the phase with the cumulative inner
+    counter already past the threshold and a 1-iteration dispatch
+    budget (so the host loop regains control mid-phase)."""
+    import time as _time
+
+    from lorads_tpu.alg.alm import ALMStats, GRIND_INNER_THRESHOLD
+
+    problem = generators.maxcut(n=300, avg_degree=4, seed=3)
+    s = LoradsSolver(problem, LoradsParams(verbose=False))
+    assert s._lbfgs_auto and s.lbfgs_len == 3
+    s.alm_inner_budget = 1
+    stats = ALMStats(rho=s.ps.rho0)
+    stats.inner_iter = GRIND_INNER_THRESHOLD
+    action = s.alm_phase(stats, _time.time())
+    assert action == "done"
+    assert s.lbfgs_len == 4          # escalated mid-phase
+    # explicit history keeps exact reference behavior (no escalation)
+    s2 = LoradsSolver(problem, LoradsParams(verbose=False,
+                                            lbfgs_list_length=2))
+    s2.alm_inner_budget = 1
+    st2 = ALMStats(rho=s2.ps.rho0)
+    st2.inner_iter = GRIND_INNER_THRESHOLD
+    s2.alm_phase(st2, _time.time())
+    assert s2.lbfgs_len == 2
