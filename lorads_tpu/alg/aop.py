@@ -101,7 +101,15 @@ def pin_factors(pd: ProblemData, fv: FactorVec) -> FactorVec:
     buckets without one — dp cones stay block-sharded).  Applied to
     the ALM loop carries: GSPMD otherwise reshards the factors /
     L-BFGS history row-wise mid-loop and re-gathers them at every
-    kernel entry (see pattern.BucketData.mesh / DESIGN.md #21)."""
+    kernel entry (see pattern.BucketData.mesh / DESIGN.md #21).
+
+    Replicated factors are a MEASURED choice for sp too (round 4):
+    pinning the summed bucket's factor rows over the mesh instead
+    (so the L-BFGS two-loop / axpy / line-search algebra partitions)
+    probes WORSE — pinned @2dev eff 0.55 vs 0.81 replicated on the
+    maxcut n=20000 deg-8 instance — because GSPMD re-gathers the
+    rows at every pattern-kernel gather site, and those re-gathers
+    outweigh the partitioned elementwise work."""
     return FactorVec(tuple(pat._pin(bk, x)
                            for bk, x in zip(pd.buckets, fv.cones)),
                      fv.lp)
