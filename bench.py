@@ -42,6 +42,7 @@ BASELINES = {
     "matcomp2000": 7.23,
     "theta300": 88.0,
     "theta800": 400.0,       # censored lower bound (never converges)
+    "maxcut200000": None,    # reference reader cannot load n >= 50000
 }
 CENSORED = {"theta800"}
 
@@ -61,7 +62,10 @@ DEFAULT_FAMILIES = ("maxcut20000",
                     os.path.join(_FIX, "matcomp500.dat-s"),
                     "matcomp2000",
                     os.path.join(_FIX, "theta300.dat-s"),
-                    "maxcut100000", "theta800")
+                    "maxcut100000", "theta800",
+                    # scale-ceiling family LAST: the soft budget
+                    # truncates here first if the sweep runs long
+                    "maxcut200000")
 
 
 def make_problem(name):
