@@ -85,11 +85,28 @@ def _use_bounds(data: jnp.ndarray, bounds, f32_ok: bool = False) -> bool:
     return f32_ok and CUMSUM_F32_GRAD
 
 
+def single_segment_sum(data: jnp.ndarray,
+                       bounds: jnp.ndarray) -> jnp.ndarray:
+    """Segment sum when every segment statically holds <= 1 entry:
+    out[b, j] = data[b, bounds[b, j]] masked by segment non-emptiness.
+    EXACT at any dtype (no summation happens at all) and a pure
+    gather — 8.5 ms scatter vs ~0.5 ms at K~1M on TPU."""
+    idx = bounds[:, :-1]
+    has = (bounds[:, 1:] > bounds[:, :-1]).astype(data.dtype)
+    if data.ndim == 3:
+        g = jnp.take_along_axis(data, idx[:, :, None], axis=1,
+                                mode="clip")
+        return g * has[:, :, None]
+    g = jnp.take_along_axis(data, idx, axis=1, mode="clip")
+    return g * has
+
+
 def batched_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
                         num_segments: int,
                         sorted_ids: bool = False,
                         bounds=None,
                         f32_bounds: bool = False,
+                        single: bool = False,
                         shard_batch: bool = False) -> jnp.ndarray:
     """segment_sum along axis 1 of [B, N, ...] with ids [B, N].
 
@@ -101,6 +118,10 @@ def batched_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
     indices (only valid for per-block-sorted ids); f64 data then takes
     the scatter-free bounded_segment_sum path.
     """
+    if single and bounds is not None:
+        # exact masked boundary-gather; partitions along a sharded
+        # batch axis like bounded_segment_sum (batch-independent ops)
+        return single_segment_sum(data, bounds)
     if _use_bounds(data, bounds, f32_ok=f32_bounds):
         # Taken even when shard_batch is set: cumsum + boundary
         # gathers are batch-independent, so GSPMD partitions this path
@@ -204,6 +225,13 @@ class BucketData:
     # sorted segment sum becomes cumsum + boundary-gather diffs
     # (bounded_segment_sum) — the scatter-free path f64 data takes.
     bnd_a_con: jnp.ndarray = None       # [B, m_loc+1]  (a_con_loc)
+    # every segment holds at most ONE entry (statically): the segment
+    # sum is an exact masked boundary-GATHER at any dtype — measured
+    # 8.5 ms scatter vs ~0.5 ms gather at K=960k on TPU
+    # (tools/microbench_gather.py; the matcomp families' constraints
+    # are all single-entry)
+    a_con_single: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
     bnd_a_pos_s: jnp.ndarray = None     # [B, K+1]      (a_pos_s)
     bnd_pat_rows_s: jnp.ndarray = None  # [B, n+1]      (pat_rows_s)
     bnd_pat_cols: jnp.ndarray = None    # [B, n+1]      (pat_cols)
@@ -377,6 +405,11 @@ class BucketData:
     bnd_sym_rows: jnp.ndarray = None     # [B, n+1]
     bnd_a_con_d: jnp.ndarray = None      # [B, m_loc+1] (a_con_d)
     bnd_a_con_o: jnp.ndarray = None      # [B, m_loc+1] (a_con_o)
+    # single-entry-segment flags (see a_con_single)
+    a_con_d_single: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    a_con_o_single: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
     bnd_a_row_d_s: jnp.ndarray = None    # [B, n+1]     (a_row_d_s)
     bnd_a_pos_o_s: jnp.ndarray = None    # [B, Ko+1]    (a_pos_o_s)
     bnd_a_pos_o_co_s: jnp.ndarray = None  # [B, Ko+1]   (a_pos_o_co_s)
@@ -387,6 +420,14 @@ class BucketData:
 
 def _rows_sorted(x: np.ndarray) -> bool:
     return bool(np.all(np.diff(x, axis=1) >= 0)) if x.size else True
+
+
+def _single_ids(ids: np.ndarray) -> bool:
+    """True iff every per-block-sorted id appears at most once (each
+    segment then holds <= 1 entry; see single_segment_sum)."""
+    if ids.size == 0:
+        return True
+    return bool(np.all(np.diff(ids, axis=1) >= 1))
 
 
 def _bounds_np(ids: np.ndarray, S: int) -> jnp.ndarray:
@@ -569,12 +610,19 @@ def _build_split_fields(bp: BucketPlan, dtype,
         off_cols_sorted=_rows_sorted(off_cols),
         a_con_d_sorted=_rows_sorted(a_con_d),
         a_con_o_sorted=_rows_sorted(a_con_o),
-        # segment boundaries for the f64 scatter-free path (f32 data
-        # never takes it, so skip the host/device cost there)
+        # segment boundaries for the f64 scatter-free path; ALSO
+        # built at f32 when the ids are single-entry (the exact
+        # boundary-gather path works at any dtype)
         bnd_a_con_d=(_bounds_np(a_con_d, bp.m_loc)
-                     if want_bounds and _rows_sorted(a_con_d) else None),
+                     if (want_bounds or _single_ids(a_con_d))
+                     and _rows_sorted(a_con_d) else None),
         bnd_a_con_o=(_bounds_np(a_con_o, bp.m_loc)
-                     if want_bounds and _rows_sorted(a_con_o) else None),
+                     if (want_bounds or _single_ids(a_con_o))
+                     and _rows_sorted(a_con_o) else None),
+        a_con_d_single=(_rows_sorted(a_con_d)
+                        and _single_ids(a_con_d)),
+        a_con_o_single=(_rows_sorted(a_con_o)
+                        and _single_ids(a_con_o)),
         bnd_a_row_d_s=(_bounds_np(ta(a_row_d, rd, 1), n)
                        if want_bounds else None),
         bnd_a_pos_o_s=(_bounds_np(ta(a_pos_o, po, 1), Ko)
@@ -613,10 +661,14 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
                                             np.arange(m_glob)))),
     )
     want_bounds = np.dtype(dtype) == np.float64
+    a_con_single = (sort_flags["a_con_sorted"]
+                    and _single_ids(bp.a_con_loc))
     common_bounds = dict(
         bnd_a_con=(_bounds_np(bp.a_con_loc, bp.m_loc)
-                   if want_bounds and sort_flags["a_con_sorted"]
+                   if (want_bounds or a_con_single)
+                   and sort_flags["a_con_sorted"]
                    else None),
+        a_con_single=a_con_single,
         bnd_glob=(_bounds_np(bp.glob_idx, m_glob + 1)
                   if want_bounds and sort_flags["glob_sorted"]
                   else None),
@@ -944,6 +996,7 @@ def constr_vals(bk: BucketData, uvt_val) -> jnp.ndarray:
         return batched_segment_sum(contrib, bk.a_con_loc, bk.m_loc,
                                    sorted_ids=bk.a_con_sorted,
                                    bounds=bk.bnd_a_con,
+                                   single=bk.a_con_single,
                                    shard_batch=bk.mesh is not None)
     d, o = uvt_val
     if bk.diag_ident:
@@ -953,6 +1006,7 @@ def constr_vals(bk: BucketData, uvt_val) -> jnp.ndarray:
         vals = batched_segment_sum(dg, bk.a_con_d, bk.m_loc,
                                    sorted_ids=bk.a_con_d_sorted,
                                    bounds=bk.bnd_a_con_d,
+                                   single=bk.a_con_d_single,
                                    shard_batch=bk.mesh is not None)
     else:
         vals = jnp.zeros((d.shape[0], bk.m_loc), dtype=d.dtype)
@@ -962,7 +1016,8 @@ def constr_vals(bk: BucketData, uvt_val) -> jnp.ndarray:
         vals = vals + batched_segment_sum(og, bk.a_con_o, bk.m_loc,
                                           sorted_ids=bk.a_con_o_sorted,
                                           shard_batch=bk.mesh is not None,
-                                          bounds=bk.bnd_a_con_o)
+                                          bounds=bk.bnd_a_con_o,
+                                          single=bk.a_con_o_single)
     return vals
 
 
@@ -1285,6 +1340,7 @@ def a_adj_a(bk: BucketData, uvt_val):
         vals = batched_segment_sum(dg, bk.a_con_d, bk.m_loc,
                                    sorted_ids=bk.a_con_d_sorted,
                                    bounds=bk.bnd_a_con_d,
+                                   single=bk.a_con_d_single,
                                    shard_batch=bk.mesh is not None)
         wa_d = jnp.take_along_axis(vals, bk.a_con_d_s, axis=1)
         W_d = batched_segment_sum(bk.a_val_d_s * wa_d, bk.a_row_d_s,

@@ -540,3 +540,39 @@ def test_a_adj_a_dense_matches_generic_composition():
         np.testing.assert_allclose(np.asarray(W_fused),
                                    np.asarray(W_ref),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_single_segment_sum_matches_scatter():
+    """Single-entry-segment fast path (round 4): when every segment
+    statically holds <= 1 entry, batched_segment_sum(single=True) is
+    an exact masked boundary-gather — bit-identical to the scatter at
+    any dtype (no summation occurs)."""
+    import numpy as np
+
+    from lorads_tpu.ops.pattern import (batched_segment_sum,
+                                        single_segment_sum)
+
+    rng = np.random.default_rng(0)
+    B, S = 3, 40
+    # strictly increasing ids with gaps: segments of size <= 1
+    ids = np.stack([np.sort(rng.choice(S, size=17, replace=False))
+                    for _ in range(B)])
+    data = rng.standard_normal((B, 17))
+    bounds = np.stack([np.searchsorted(ids[b], np.arange(S + 1))
+                       for b in range(B)]).astype(np.int32)
+    for dt in (jnp.float32, jnp.float64):
+        d = jnp.asarray(data, dt)
+        ref = batched_segment_sum(d, jnp.asarray(ids), S,
+                                  sorted_ids=True)
+        fast = batched_segment_sum(d, jnp.asarray(ids), S,
+                                   sorted_ids=True,
+                                   bounds=jnp.asarray(bounds),
+                                   single=True)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
+        # 3d data path
+        d3 = jnp.asarray(np.repeat(data[:, :, None], 4, axis=2), dt)
+        ref3 = batched_segment_sum(d3, jnp.asarray(ids), S,
+                                   sorted_ids=True)
+        fast3 = single_segment_sum(d3, jnp.asarray(bounds))
+        np.testing.assert_array_equal(np.asarray(fast3),
+                                      np.asarray(ref3))
