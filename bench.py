@@ -111,6 +111,17 @@ def run_family(name, params):
         res = LoradsSolver(problem, params).solve()
         steadies.append(time.time() - t0)
     steady = min(steadies)
+    # one more pass from a cache-dropped problem: includes host
+    # presolve + device staging, so it is the apples-to-apples value
+    # against the reference binary's full wall (ADVICE r4: the steady
+    # passes above reuse problem._lorads_ps_cache / ps._pd_cache and
+    # therefore exclude presolve; rounds <= 3 included it)
+    for attr in ("_lorads_ps_cache",):
+        if hasattr(problem, attr):
+            delattr(problem, attr)
+    t0 = time.time()
+    LoradsSolver(problem, params).solve()
+    full_pass = time.time() - t0
 
     tol = params.phase2_tol
     ok = res.pinf_l1 <= tol and res.gap <= 5 * tol
@@ -135,6 +146,7 @@ def run_family(name, params):
         "dinf_l1": res.dinf_l1,
         "compile_overhead_s": round(warm_s - steady, 3),
         "steady_passes": [round(s, 3) for s in steadies],
+        "full_pass_s": round(full_pass, 3),
         # zero-egress image: instances are generator-built PROXIES of
         # the reference's published suite (rudy-style random graphs
         # for G-set Max-Cut, random graphs for theta, random low-rank
@@ -177,6 +189,16 @@ def main():
                    "error": f"{type(e).__name__}: {e}"}
         records.append(rec)
         print(json.dumps(rec), flush=True)
+        if rec.get("compile_overhead_s", 0) > 60:
+            # warm-cache discipline violation (VERDICT r4 #7): a
+            # traced-code change landed after the end-of-round warm
+            # pass, so the driver is paying real remote compiles
+            print(f"WARNING: {rec['metric']} paid "
+                  f"{rec['compile_overhead_s']:.0f}s of compiles — "
+                  f"the persistent XLA cache was cold for this family;"
+                  f" re-run a full bench.py warm pass after the last "
+                  f"kernel change (CLAUDE.md warm-cache discipline)",
+                  flush=True)
 
     head = next((r for r in records
                  if r["metric"] == "maxcut20000_time_to_1e-5"), None)

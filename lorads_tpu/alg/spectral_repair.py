@@ -94,7 +94,11 @@ def _active_set_device(bk, Bmat, p_mask, dual0, rhs, delta, sigma,
     m = rhs.shape[0]
     dt = Bmat.dtype
     R_rows = n_iters * con_pad
-    BIG = jnp.asarray(1e6, dt)
+    # padded eigh dims must sit safely ABOVE the activation threshold
+    # delta (which scales with c_nrm1 via norm) or they become
+    # zero-gradient phantom directions that suppress the none_new
+    # early exit (ADVICE r4): anchor the pad diagonal to delta itself
+    BIG = delta + jnp.abs(delta) + 1.0
     bb = jnp.vdot(rhs, rhs)
     m2 = p_mask[:, :, None] * p_mask[:, None, :]          # [b_eff,P,P]
     eyeP = jnp.eye(P, dtype=dt)[None]

@@ -538,3 +538,34 @@ def test_bounded_segment_sum_partitions_cleanly(eight_devices):
     np.testing.assert_allclose(
         np.asarray(f(data_s, bounds_s)),
         np.asarray(bounded_segment_sum(data, bounds)))
+
+
+def test_single_segment_sum_partitions_cleanly(eight_devices):
+    """ADVICE r4: the single=True masked boundary-gather path is taken
+    even when shard_batch is set; verify single_segment_sum itself
+    partitions along a sharded batch axis with zero collectives."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from lorads_tpu.ops.pattern import single_segment_sum
+
+    B, N, S = 8, 64, 48
+    rng = np.random.default_rng(1)
+    data = jnp.asarray(rng.standard_normal((B, N)))
+    # <=1 entry per segment: strictly increasing ids per block
+    bounds_np = np.zeros((B, S + 1), np.int32)
+    for b in range(B):
+        ids = np.sort(rng.choice(S, size=min(N, 40), replace=False))
+        bounds_np[b] = np.searchsorted(ids, np.arange(S + 1))
+    bounds = jnp.asarray(bounds_np)
+    mesh = Mesh(np.array(eight_devices), ("blk",))
+    sh = NamedSharding(mesh, P("blk"))
+    data_s = jax.device_put(data, sh)
+    bounds_s = jax.device_put(bounds, sh)
+    f = jax.jit(single_segment_sum)
+    hlo = f.lower(data_s, bounds_s).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all"):
+        assert coll not in hlo, f"{coll} in single_segment_sum HLO"
+    np.testing.assert_allclose(
+        np.asarray(f(data_s, bounds_s)),
+        np.asarray(single_segment_sum(data, bounds)))

@@ -63,11 +63,14 @@ def main():
 
     # ADMM chunk of 5 iterations
     from lorads_tpu.alg import admm as admm_mod
-    locals_, lp_contrib, tot, pobj, dobj, pinf, gap = \
-        admm_mod.admm_init_eval(pd, s.U, s.V, dual,
-                                jnp.asarray(1.0, s.dtype))
-    chunk = admm_mod.make_admm_chunk(params, False)
+    locals_, lp_contrib, tot, packed = admm_mod.admm_init_eval(
+        pd, s.U, s.V, dual, jnp.asarray(1.0, s.dtype))
     dtt = s.dtype
+    pobj, dobj, pinf, gap = (packed[0].astype(dtt),
+                             packed[1].astype(dtt),
+                             packed[2].astype(dtt),
+                             packed[3].astype(dtt))
+    chunk = admm_mod.make_admm_chunk(params, False)
 
     def admm5():
         return chunk(pd, s.U, s.V, locals_, lp_contrib, tot, dual,
