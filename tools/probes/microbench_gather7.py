@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lorads_tpu.ops import onehot
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+import onehot
 
 
 def trial(name, fn, check=None, reps=30):

@@ -31,7 +31,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lorads_tpu.ops import onehot
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+import onehot
 
 
 def trial(name, fn, *args, check=None, reps=20):
