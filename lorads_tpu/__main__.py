@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dualUV", type=int, default=0,
                    help="DUAL_U_V build variant: +/-S terms in the "
                         "ADMM subproblems")
+    p.add_argument("--lpGaussSeidel", type=int, default=0,
+                   help="update ADMM LP columns sequentially in the "
+                        "exact reference order (lorads_admm.c:595-628)"
+                        " instead of the default vectorized Jacobi "
+                        "sweep; serial on device — use on strongly "
+                        "coupled LP blocks")
     # TPU-native extensions
     p.add_argument("--dtype", choices=["auto", "f64", "f32"],
                    default="auto")
@@ -167,6 +173,7 @@ def main(argv=None) -> int:
         l2_rescaling=bool(args.l2Rescaling), reopt_level=args.reoptLevel,
         dyrank_level=args.dyrankLevel, high_acc_mode=bool(args.highAccMode),
         dual_uv=bool(args.dualUV), dual_repair=bool(args.dualRepair),
+        lp_gauss_seidel=bool(args.lpGaussSeidel),
         dual_refine=bool(args.dualRefine),
         admm_gap_continue=bool(args.admmGapContinue),
         shard=args.shard,

@@ -204,6 +204,47 @@ def _update_lp_var(pd: ProblemData, upd, fixed, lp_contrib, constr_sum,
     return new, new_contrib, new_sum
 
 
+def _update_lp_var_gs(pd: ProblemData, upd, fixed, lp_contrib,
+                      constr_sum, dual, rho, s_lp=None):
+    """EXACT reference LP column order: sequential Gauss-Seidel via
+    lax.scan, each column's wsum reading the constrValSum already
+    updated by the previous columns (lorads_admm.c:595-628 driven by
+    lorads_alg_common.c:229-247).  Same per-column closed form as the
+    Jacobi sweep (_update_lp_var); only the sweep order differs —
+    identical fixed points, different transients on strongly coupled
+    columns at low rho.  Serial over columns by construction, so it is
+    opt-in (params.lp_gauss_seidel)."""
+    lpd = pd.lp
+    dt = constr_sum.dtype
+    z1 = jnp.zeros((1,), dt)
+    rhs1 = jnp.concatenate([pd.rhs, z1])
+    dual1 = jnp.concatenate([dual, z1])
+    s_arr = s_lp if s_lp is not None else jnp.zeros_like(upd)
+
+    def step(csum, xs):
+        con, val, c_j, nrm2, u_j, v_j, s_j = xs
+        csum1 = jnp.concatenate([csum, z1])
+        # wsum_j = c_j + a_j^T (rho (csum_noj - rhs) - dual) where
+        # csum_noj analytically removes column j's own contribution
+        base = jnp.sum(val * (rho * (csum1[con] - rhs1[con])
+                              - dual1[con]))
+        wsum = c_j + base - rho * nrm2 * u_j * v_j
+        m2 = wsum * v_j - rho * v_j + s_j
+        new_j = (-m2 / rho) / (1.0 + nrm2 * v_j * v_j)
+        # fold the column's delta into csum before the next column
+        # reads it (padding ids point at m_glob -> dropped)
+        csum = csum.at[con].add(val * (new_j - u_j) * v_j,
+                                mode="drop")
+        return csum, new_j
+
+    new_sum, new = jax.lax.scan(
+        step, constr_sum,
+        (lpd.pc_con, lpd.pc_val, lpd.obj, lpd.col_nrm2sq, upd, fixed,
+         s_arr))
+    new_contrib = lp_ops.constr_vals(lpd, new * fixed)
+    return new, new_contrib, new_sum
+
+
 def _update_sdp_var_bucket_gs(pd: ProblemData, bk: pat.BucketData,
                               upd, fixed, local_vals, constr_sum, dual,
                               rho, cg_tol, cg_max, s=None, mixed=False):
@@ -231,7 +272,7 @@ def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
                     locals_: Tuple, lp_contrib, constr_sum, dual, rho,
                     cg_tol, cg_max, jacobi=False,
                     u_caches=None, v_caches=None, S: FactorVec = None,
-                    mixed=False):
+                    mixed=False, lp_gs=False):
     """One sweep over buckets (U then V each), then LP.
 
     Reference: LORADSUpdateSDPVar / LORADSUpdateSDPLPVar
@@ -283,10 +324,11 @@ def admm_update_all(pd: ProblemData, U: FactorVec, V: FactorVec,
     lp_u, lp_v = U.lp, V.lp
     if pd.lp is not None:
         s_lp = S.lp if S is not None else None
-        lp_u, lp_contrib, constr_sum = _update_lp_var(
+        upd_fn = _update_lp_var_gs if lp_gs else _update_lp_var
+        lp_u, lp_contrib, constr_sum = upd_fn(
             pd, lp_u, lp_v, lp_contrib, constr_sum, dual, rho,
             s_lp=s_lp)
-        lp_v, lp_contrib, constr_sum = _update_lp_var(
+        lp_v, lp_contrib, constr_sum = upd_fn(
             pd, lp_v, lp_u, lp_contrib, constr_sum, dual, rho,
             s_lp=(-s_lp if s_lp is not None else None))
     return (FactorVec(tuple(u_cones), lp_u),
@@ -358,12 +400,14 @@ def make_admm_chunk(params, reopt: bool, bucket_jacobi=(),
         params.phase1_tol, params.rho_celling_admm,
         jacobi, getattr(params, "dual_uv", False),
         bool(getattr(params, "admm_mixed_cg", True)),
-        bool(reopt), bool(gap_stop))
+        bool(reopt), bool(gap_stop),
+        bool(getattr(params, "lp_gauss_seidel", False)))
 
 
 @functools.lru_cache(maxsize=None)
 def _bound_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
-                      jacobi, dual_uv, mixed_cg, reopt, gap_stop):
+                      jacobi, dual_uv, mixed_cg, reopt, gap_stop,
+                      lp_gs=False):
     """reopt / gap_stop ride as TRACED booleans (VERDICT r3 #4): the
     three chunk flavors used to be three separately-compiled graphs
     per dtype — on the remote-compile tunnel each costs minutes.
@@ -374,7 +418,8 @@ def _bound_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
     callable identity stable across solver instances (in-process jit
     cache reuse, see make_admm_chunk docstring)."""
     base = _make_admm_chunk(rho_freq, rho_factor, tol2, tol1,
-                            rho_celling, jacobi, dual_uv, mixed_cg)
+                            rho_celling, jacobi, dual_uv, mixed_cg,
+                            lp_gs)
 
     def bound(*a, **k):
         return base(*a, reopt_f=reopt, gap_stop_f=gap_stop, **k)
@@ -384,7 +429,7 @@ def _bound_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
 
 @functools.lru_cache(maxsize=None)
 def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
-                     jacobi, dual_uv, mixed_cg=True):
+                     jacobi, dual_uv, mixed_cg=True, lp_gs=False):
     escape_pow = float(rho_factor ** round(
         math.log(rho_freq * 100) / math.log(rho_freq)))
 
@@ -439,7 +484,8 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
                     pd, c["U"], c["V"], c["locals"], c["lp_contrib"],
                     c["constr_sum"], c["dual"], c["rho"], cg_tol, 800,
                     jacobi=jacobi, u_caches=c["u_caches"],
-                    v_caches=c["v_caches"], S=S_used, mixed=mixed)
+                    v_caches=c["v_caches"], S=S_used, mixed=mixed,
+                    lp_gs=lp_gs)
             pobj, dobj, pinf, gap, locals__, lpc, csum = _obj_dimacs_xbar(
                 pd, U_, V_, c["dual"], scale, ucs, vcs)
             pinf_inf = pinf * (1.0 + pd.b_nrm1) / (1.0 + pd.b_nrm_inf)

@@ -106,6 +106,16 @@ class LoradsParams:
     # meshes jax.devices()[:n_devices]).  None -> all local devices.
     n_devices: Optional[int] = None
     admm_jacobi: bool = False        # Jacobi within multi-block buckets
+    # ADMM LP columns: the reference updates them SEQUENTIALLY, each
+    # reading the constrValSum already updated by previous columns
+    # (Gauss-Seidel; lorads_admm.c:595-628 via lorads_alg_common.c:
+    # 229-247).  The default here sweeps them Jacobi with the
+    # self-contribution removed analytically (DESIGN.md deviation #4)
+    # — identical fixed points, near-identical trajectories on all
+    # tested instances, fully vectorized.  True restores the exact
+    # reference order via a lax.scan over columns (serial on device;
+    # use on strongly coupled LP blocks that diverge under Jacobi).
+    lp_gauss_seidel: bool = False
     # reference compile-time DUAL_U_V feature define (lorads_admm.c:483-591):
     # +/-S consensus terms in the ADMM subproblems; S stays at its
     # initial value exactly as the shipped reference never updates it

@@ -6,8 +6,8 @@ loops become vectorized gathers/segment-sums over the flattened LP
 constraint COO.
 
 Both segment sums carry statically sorted entry copies + boundary
-arrays so f64 data takes the scatter-free cumsum path
-(ops/pattern.py bounded_segment_sum).
+arrays (all dtypes since round 5) so the sums take the scatter-free
+compensated-scan path (ops/pattern.py comp_segment_sum).
 """
 
 from __future__ import annotations
@@ -33,21 +33,31 @@ class LPData:
     a_val: jnp.ndarray      # [nnz]
     col_nrm2sq: jnp.ndarray  # [n_cols], cached ||a_col||^2
                              # (lorads_lp_conic.c:106-107)
-    # statically sorted copies + segment boundaries (f64 fast path;
-    # built only for f64 data — f32 never takes the bounded path)
+    # statically sorted copies + segment boundaries (scatter-free
+    # fast path; built at every dtype since round 5 — COMP_CUMSUM)
     a_val_cs: jnp.ndarray = None   # [nnz] vals in con order
     a_col_cs: jnp.ndarray = None   # int32 [nnz] cols in con order
     bnd_con: jnp.ndarray = None    # int32 [m_glob+1]
     a_val_ls: jnp.ndarray = None   # [nnz] vals in col order
     a_con_ls: jnp.ndarray = None   # int32 [nnz] cons in col order
     bnd_col: jnp.ndarray = None    # int32 [n_cols+1]
+    # padded per-column layout for the Gauss-Seidel column sweep
+    # (admm._update_lp_var_gs; params.lp_gauss_seidel): column j's
+    # entries at [j, :], constraint ids padded to m_glob (reads hit a
+    # zero slot, scatters drop), values padded 0.  Memory is
+    # n_cols * max_nnz_col — fine for the sparse LP blocks LoRADS
+    # targets; a dense-column instance would want a CSR scan instead.
+    max_nnz_col: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
+    pc_con: jnp.ndarray = None     # int32 [n_cols, max_nnz_col]
+    pc_val: jnp.ndarray = None     # [n_cols, max_nnz_col]
 
 
 def build_lp_data(lp: LPBlockData, dtype) -> LPData:
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
     bounds = {}
-    if np.dtype(dtype) == np.float64:
+    if True:    # built at every dtype (COMP_CUMSUM f32 path)
         cp = np.argsort(lp.a_con, kind="stable")
         lps = np.argsort(lp.a_col, kind="stable")
         con_s = np.asarray(lp.a_con)[cp]
@@ -62,6 +72,17 @@ def build_lp_data(lp: LPBlockData, dtype) -> LPData:
             bnd_col=i32(np.searchsorted(
                 col_s, np.arange(lp.n_cols + 1)).astype(np.int32)),
         )
+    # padded per-column layout (Gauss-Seidel sweep; see LPData)
+    counts = np.bincount(np.asarray(lp.a_col), minlength=lp.n_cols)
+    max_nnz_col = max(int(counts.max()) if counts.size else 0, 1)
+    pc_con = np.full((lp.n_cols, max_nnz_col), lp.m, np.int32)
+    pc_val = np.zeros((lp.n_cols, max_nnz_col))
+    pos = np.zeros(lp.n_cols, np.int64)
+    for k in range(int(lp.a_val.size)):
+        j = int(lp.a_col[k])
+        pc_con[j, pos[j]] = lp.a_con[k]
+        pc_val[j, pos[j]] = lp.a_val[k]
+        pos[j] += 1
     return LPData(
         n_cols=lp.n_cols, m_glob=lp.m, nnz=int(lp.a_val.size),
         obj=f(lp.obj),
@@ -69,13 +90,17 @@ def build_lp_data(lp: LPBlockData, dtype) -> LPData:
         a_col=i32(lp.a_col),
         a_val=f(lp.a_val),
         col_nrm2sq=f(lp.col_nrm2_square()),
+        max_nnz_col=max_nnz_col,
+        pc_con=i32(pc_con), pc_val=f(pc_val),
         **bounds,
     )
 
 
 def _bounded_1d(data: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
-    from lorads_tpu.ops.pattern import bounded_segment_sum
-    return bounded_segment_sum(data[None], bounds[None])[0]
+    from lorads_tpu.ops import pattern as pat
+    f = (pat.comp_segment_sum if pat.COMP_CUMSUM
+         else pat.bounded_segment_sum)
+    return f(data[None], bounds[None])[0]
 
 
 def _use_bounds(data: jnp.ndarray, bounds) -> bool:

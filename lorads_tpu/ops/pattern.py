@@ -43,6 +43,78 @@ CUMSUM_F64 = True
 # DIMACS-critical constraint sums (which keep the scatter at f32).
 CUMSUM_F32_GRAD = True
 
+# Round 5: COMPENSATED (TwoSum pair) scan segment sums.  When on,
+# every bounds-eligible sorted segment sum — at f32 AND f64 — runs
+# scatter-free through comp_segment_sum: prefix sums carried as an
+# unevaluated (hi, lo) f32 pair whose boundary differences recover
+# the segment sum to ~eps32 |segment| (f32 in) or ~2^-48 |prefix|
+# (f64 in, Dekker split).  That is STRICTLY more accurate than the
+# f32 scatter it replaces (whose per-segment error is eps |segment|
+# too, but whose cost is 8.5 ms vs ~0.5 ms at K=960k on v5e —
+# tools/microbench_gather.py), so DIMACS-critical constraint sums
+# take it as well.  False restores the round-4 scatter policy.
+COMP_CUMSUM = True
+
+
+def _twosum(a, b):
+    """Knuth TwoSum: s = fl(a + b) and the EXACT rounding error e,
+    a + b == s + e in exact arithmetic.  6 IEEE flops, branch-free;
+    relies on XLA not reassociating f32 adds (it does not on TPU/CPU —
+    verified by test_kernels.test_comp_segment_sum_accuracy, which
+    fails loudly if a simplifier ever folds e to zero)."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _pair_scan(hi, lo, axis=1):
+    """Inclusive prefix sums of hi + lo carried as a running f32
+    two-float pair: the hi lane advances by TwoSum (error pushed into
+    lo), lo accumulates compensations in plain f32.  Error of the pair
+    sum vs the exact prefix is O(eps^2 N |prefix|) — f64-grade for any
+    pattern size here (N < 2^24)."""
+
+    def comb(x, y):
+        s, e = _twosum(x[0], y[0])
+        return s, x[1] + y[1] + e
+
+    return jax.lax.associative_scan(comb, (hi, lo), axis=axis)
+
+
+def comp_segment_sum(data: jnp.ndarray,
+                     bounds: jnp.ndarray) -> jnp.ndarray:
+    """Compensated scatter-free sorted segment sum (see COMP_CUMSUM).
+
+    ``data`` [B, N, ...] ordered so segment j occupies rows
+    [bounds[b, j], bounds[b, j+1]); ``bounds`` [B, S+1] static.
+    f32 in -> f32 out with error ~ eps32 |segment| (the raw f32 cumsum
+    difference is eps32 |prefix| — unusable); f64 in -> f64 out via an
+    exact Dekker split into two f32 planes, error ~ 2^-48 |prefix|
+    (assumes |data| is f32-representable, which presolve's scaling
+    guarantees — same contract as the a_lin2_exact two-plane scatter).
+    """
+    f64 = data.dtype == jnp.float64
+    if f64:
+        hi = data.astype(jnp.float32)
+        lo = (data - hi).astype(jnp.float32)
+    else:
+        hi, lo = data, jnp.zeros_like(data)
+    ph, pl = _pair_scan(hi, lo)
+    z = jnp.zeros_like(ph[:, :1])
+    ph = jnp.concatenate([z, ph], axis=1)
+    pl = jnp.concatenate([z, pl], axis=1)
+    idx = bounds
+    if data.ndim == 3:
+        idx = idx[:, :, None]
+    gh = jnp.take_along_axis(ph, idx, axis=1)
+    gl = jnp.take_along_axis(pl, idx, axis=1)
+    if f64:
+        g = gh.astype(jnp.float64) + gl.astype(jnp.float64)
+        return g[:, 1:] - g[:, :-1]
+    # f32: difference the pairs with the subtraction error recovered
+    d, e = _twosum(gh[:, 1:], -gh[:, :-1])
+    return d + (e + (gl[:, 1:] - gl[:, :-1]))
+
 
 def bounded_segment_sum(data: jnp.ndarray,
                         bounds: jnp.ndarray) -> jnp.ndarray:
@@ -76,10 +148,16 @@ def _use_bounds(data: jnp.ndarray, bounds, f32_ok: bool = False) -> bool:
     the scatter it replaces: S+1 output gathers vs N scattered rows
     (gathers are ~2x cheaper per row than scatters on TPU).
 
-    f32_ok: the caller is a gradient-path product where the cumsum's
-    O(eps |prefix|) error is acceptable (see CUMSUM_F32_GRAD)."""
+    With COMP_CUMSUM on (default), any dtype qualifies — the
+    compensated pair scan's error ~ eps |segment| matches the
+    scatter's, so even DIMACS-critical sums take it.  f32_ok only
+    matters in the round-4 fallback policy: the caller is a
+    gradient-path product where the raw f32 cumsum's O(eps |prefix|)
+    error is acceptable (see CUMSUM_F32_GRAD)."""
     if bounds is None or bounds.shape[-1] > 2 * data.shape[1] + 1:
         return False
+    if COMP_CUMSUM:
+        return True
     if data.dtype == jnp.float64:
         return CUMSUM_F64
     return f32_ok and CUMSUM_F32_GRAD
@@ -123,10 +201,12 @@ def batched_segment_sum(data: jnp.ndarray, ids: jnp.ndarray,
         # batch axis like bounded_segment_sum (batch-independent ops)
         return single_segment_sum(data, bounds)
     if _use_bounds(data, bounds, f32_ok=f32_bounds):
-        # Taken even when shard_batch is set: cumsum + boundary
+        # Taken even when shard_batch is set: scan + boundary
         # gathers are batch-independent, so GSPMD partitions this path
         # along a sharded axis 0 with zero collectives (verified by
         # test_sharded.test_bounded_segment_sum_partitions_cleanly).
+        if COMP_CUMSUM:
+            return comp_segment_sum(data, bounds)
         return bounded_segment_sum(data, bounds)
     if shard_batch:
         # keep the batch axis a REAL dimension (vmapped per-block
@@ -610,25 +690,20 @@ def _build_split_fields(bp: BucketPlan, dtype,
         off_cols_sorted=_rows_sorted(off_cols),
         a_con_d_sorted=_rows_sorted(a_con_d),
         a_con_o_sorted=_rows_sorted(a_con_o),
-        # segment boundaries for the f64 scatter-free path; ALSO
-        # built at f32 when the ids are single-entry (the exact
-        # boundary-gather path works at any dtype)
+        # segment boundaries for every scatter-free path, built at ALL
+        # dtypes since round 5: the compensated pair scan
+        # (COMP_CUMSUM) serves f32 sums at scatter-grade accuracy too
         bnd_a_con_d=(_bounds_np(a_con_d, bp.m_loc)
-                     if (want_bounds or _single_ids(a_con_d))
-                     and _rows_sorted(a_con_d) else None),
+                     if _rows_sorted(a_con_d) else None),
         bnd_a_con_o=(_bounds_np(a_con_o, bp.m_loc)
-                     if (want_bounds or _single_ids(a_con_o))
-                     and _rows_sorted(a_con_o) else None),
+                     if _rows_sorted(a_con_o) else None),
         a_con_d_single=(_rows_sorted(a_con_d)
                         and _single_ids(a_con_d)),
         a_con_o_single=(_rows_sorted(a_con_o)
                         and _single_ids(a_con_o)),
-        bnd_a_row_d_s=(_bounds_np(ta(a_row_d, rd, 1), n)
-                       if want_bounds else None),
-        bnd_a_pos_o_s=(_bounds_np(ta(a_pos_o, po, 1), Ko)
-                       if want_bounds else None),
-        bnd_a_pos_o_co_s=(_bounds_np(ta(a_pos_o_co, pco, 1), Ko)
-                          if want_bounds else None),
+        bnd_a_row_d_s=_bounds_np(ta(a_row_d, rd, 1), n),
+        bnd_a_pos_o_s=_bounds_np(ta(a_pos_o, po, 1), Ko),
+        bnd_a_pos_o_co_s=_bounds_np(ta(a_pos_o_co, pco, 1), Ko),
         # built at every dtype: cmul's f32 cumsum path needs them too
         # (they are only [B, n+1] ints)
         bnd_off_rows=(_bounds_np(off_rows, n)
@@ -660,18 +735,19 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
                     and bool(np.array_equal(bp.glob_idx[0],
                                             np.arange(m_glob)))),
     )
+    # a_lin2's bounds stay f64-gated (n^2-sized; only the dense-mode
+    # f64 fallback reads them); every other boundary array is built at
+    # ALL dtypes since round 5 — the compensated pair scan
+    # (COMP_CUMSUM) serves f32 segment sums too
     want_bounds = np.dtype(dtype) == np.float64
     a_con_single = (sort_flags["a_con_sorted"]
                     and _single_ids(bp.a_con_loc))
     common_bounds = dict(
         bnd_a_con=(_bounds_np(bp.a_con_loc, bp.m_loc)
-                   if (want_bounds or a_con_single)
-                   and sort_flags["a_con_sorted"]
-                   else None),
+                   if sort_flags["a_con_sorted"] else None),
         a_con_single=a_con_single,
         bnd_glob=(_bounds_np(bp.glob_idx, m_glob + 1)
-                  if want_bounds and sort_flags["glob_sorted"]
-                  else None),
+                  if sort_flags["glob_sorted"] else None),
     )
     # static permutations making the remaining scatters sorted
     pperm = np.argsort(bp.a_pos, axis=1, kind="stable")
@@ -810,15 +886,12 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
         pat_offdiag=f(np.where(is_diag, 0.0, 1.0)), a_pos=i32(bp.a_pos),
         a_lin=i32(zi), a_lin_t=i32(zi), a_val=f(bp.a_val),
         a_val_mirror=f(z1), c_full=f(np.zeros((B, 1, 1))),
-        bnd_a_pos_s=(_bounds_np(
-            np.take_along_axis(bp.a_pos, pperm, 1), K)
-            if want_bounds else None),
-        bnd_pat_rows_s=(_bounds_np(
-            np.take_along_axis(bp.pat_rows, rperm, 1), n)
-            if want_bounds else None),
+        bnd_a_pos_s=_bounds_np(
+            np.take_along_axis(bp.a_pos, pperm, 1), K),
+        bnd_pat_rows_s=_bounds_np(
+            np.take_along_axis(bp.pat_rows, rperm, 1), n),
         bnd_pat_cols=(_bounds_np(bp.pat_cols, n)
-                      if want_bounds and sort_flags["pat_cols_sorted"]
-                      else None),
+                      if sort_flags["pat_cols_sorted"] else None),
         summed=summed,
         **perms, **sort_flags, **common_bounds,
     )
@@ -1043,7 +1116,8 @@ def scatter_constr(bk: BucketData, vals: jnp.ndarray) -> jnp.ndarray:
     if bk.glob_ident:
         return vals[0]
     if _use_bounds(vals, bk.bnd_glob):
-        out = bounded_segment_sum(vals, bk.bnd_glob)  # [B, m_glob+1]
+        out = (comp_segment_sum(vals, bk.bnd_glob) if COMP_CUMSUM
+               else bounded_segment_sum(vals, bk.bnd_glob))
         return _pin(bk, jnp.sum(out, axis=0)[: bk.m_glob])
     flat = jax.ops.segment_sum(vals.reshape(-1), bk.glob_idx.reshape(-1),
                                num_segments=bk.m_glob + 1,
@@ -1113,7 +1187,8 @@ def build_w(bk: BucketData, w_loc: jnp.ndarray,
             # statically sorted copy of the concat scatter: one gather
             # at the static perm + the scatter-free bounded sum
             val_s = jnp.take_along_axis(val, bk.a_lin2_perm, axis=1)
-            W = bounded_segment_sum(val_s, bk.bnd_a_lin2)
+            W = (comp_segment_sum(val_s, bk.bnd_a_lin2) if COMP_CUMSUM
+                 else bounded_segment_sum(val_s, bk.bnd_a_lin2))
             W = W.reshape(-1, bk.n, bk.n)
         else:
             W = batched_segment_sum(val, pos, n2).reshape(-1, bk.n, bk.n)

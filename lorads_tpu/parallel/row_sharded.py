@@ -114,7 +114,6 @@ def build_rowshard_bucket(plan: BlockPlan, m_glob: int, n_devices: int,
 
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
-    want_bounds = np.dtype(dtype) == np.float64
     z1 = np.zeros((D, 1))
     zi = np.zeros((D, 1), dtype=np.int32)
     glob_idx = np.tile(plan.loc2glob, (D, 1)).astype(np.int32)
@@ -134,8 +133,8 @@ def build_rowshard_bucket(plan: BlockPlan, m_glob: int, n_devices: int,
         row_perm=i32(zi), pat_rows_s=i32(zi), pat_cols_rp=i32(zi),
         a_con_sorted=True, a_pos_sorted=True,
         a_lin2_exact=lin2_exact,
-        bnd_a_con=(pat._bounds_np(a_con, plan.m_loc)
-                   if want_bounds else None),
+        # built at all dtypes since round 5 (COMP_CUMSUM f32 path)
+        bnd_a_con=pat._bounds_np(a_con, plan.m_loc),
     )
 
 

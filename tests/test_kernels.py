@@ -525,3 +525,72 @@ def test_single_segment_sum_matches_scatter():
         fast3 = single_segment_sum(d3, jnp.asarray(bounds))
         np.testing.assert_array_equal(np.asarray(fast3),
                                       np.asarray(ref3))
+
+
+def test_comp_segment_sum_accuracy():
+    """Round-5 compensated pair-scan path: error ~eps32 |segment| at
+    f32 (the raw f32 cumsum difference is eps32 |prefix| — orders
+    worse), ~2^-48 |prefix| at f64.  Also guards against an XLA
+    simplifier ever folding the TwoSum error term to zero (the f32
+    branch would then degrade to the raw-cumsum error and fail)."""
+    rng = np.random.default_rng(7)
+    B, N, S = 2, 200_000, 1000
+    ids = np.sort(rng.integers(0, S, (B, N)).astype(np.int32), axis=1)
+    bounds = pat._bounds_np(ids, S)
+    # adversarial scale: large-magnitude data so prefixes are ~1e5
+    # while most segments are ~sqrt(N/S)*scale
+    data64 = rng.standard_normal((B, N))
+    exact = np.zeros((B, S))
+    for b in range(B):
+        np.add.at(exact[b], ids[b], data64[b])
+
+    # f32 path
+    got32 = np.asarray(pat.comp_segment_sum(
+        jnp.asarray(data64, jnp.float32), bounds))
+    seg_l1 = np.zeros((B, S))
+    for b in range(B):
+        np.add.at(seg_l1[b], ids[b], np.abs(data64[b]))
+    err32 = np.abs(got32 - exact)
+    # per-segment error bounded by ~8 eps32 * (|segment L1| + |sum|)
+    bound = 8 * np.finfo(np.float32).eps * (seg_l1 + np.abs(exact) + 1)
+    assert np.all(err32 <= bound), float((err32 / bound).max())
+    # raw f32 cumsum diff must be strictly worse on this shape —
+    # otherwise the compensation was optimized away silently
+    raw32 = np.asarray(pat.bounded_segment_sum(
+        jnp.asarray(data64, jnp.float32), bounds))
+    assert np.abs(raw32 - exact).max() > 4 * err32.max()
+
+    # f64 (Dekker split) path
+    got64 = np.asarray(pat.comp_segment_sum(jnp.asarray(data64), bounds))
+    pref_l1 = np.abs(data64).sum(axis=1, keepdims=True)
+    assert np.abs(got64 - exact).max() <= 1e-13 * pref_l1.max()
+
+    # 3D data
+    r = 3
+    d3 = rng.standard_normal((B, 4000, r))
+    ids3 = np.sort(rng.integers(0, 50, (B, 4000)).astype(np.int32), 1)
+    b3 = pat._bounds_np(ids3, 50)
+    ex3 = np.zeros((B, 50, r))
+    for b in range(B):
+        np.add.at(ex3[b], ids3[b], d3[b])
+    g3 = np.asarray(pat.comp_segment_sum(
+        jnp.asarray(d3, jnp.float32), b3))
+    np.testing.assert_allclose(g3, ex3, atol=1e-4, rtol=1e-5)
+    g3d = np.asarray(pat.comp_segment_sum(jnp.asarray(d3), b3))
+    np.testing.assert_allclose(g3d, ex3, atol=1e-11, rtol=1e-12)
+
+
+def test_batched_segment_sum_routes_comp():
+    """bounds-eligible f32 sums take the compensated path and agree
+    with the scatter reference."""
+    rng = np.random.default_rng(11)
+    B, N, S = 3, 5000, 800
+    ids = np.sort(rng.integers(0, S, (B, N)).astype(np.int32), axis=1)
+    bounds = pat._bounds_np(ids, S)
+    data = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    ref = pat.batched_segment_sum(data, jnp.asarray(ids), S,
+                                  sorted_ids=True)
+    got = pat.batched_segment_sum(data, jnp.asarray(ids), S,
+                                  sorted_ids=True, bounds=bounds)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-5)

@@ -99,12 +99,49 @@ def main():
 
     bounds_np = np.searchsorted(rows, np.arange(n + 1)).astype(np.int32)
     bounds = jnp.asarray(bounds_np[None])
-    from lorads_tpu.ops.pattern import bounded_segment_sum
+    from lorads_tpu.ops.pattern import bounded_segment_sum, \
+        comp_segment_sum
 
     dt = bench_loop(
         "bounded segsum (cumsum+2 gathers)",
         lambda i: jnp.sum(bounded_segment_sum(vals + i * 1e-30, bounds)))
     print(f"{'':>44}-> {K * 4 / 1e9 / dt:6.1f} GB/s effective")
+
+    dt = bench_loop(
+        "compensated segsum f32 (pair scan)",
+        lambda i: jnp.sum(comp_segment_sum(vals + i * 1e-30, bounds)))
+    print(f"{'':>44}-> {K * 4 / 1e9 / dt:6.1f} GB/s effective")
+
+    vals64 = vals.astype(jnp.float64)
+    dt = bench_loop(
+        "compensated segsum f64-in (Dekker)",
+        lambda i: jnp.sum(comp_segment_sum(
+            vals64 + i * 1e-30, bounds)).astype(jnp.float32))
+    print(f"{'':>44}-> {K * 8 / 1e9 / dt:6.1f} GB/s effective")
+
+    dt = bench_loop(
+        "sorted segment_sum f64 [K] -> [n]",
+        lambda i: jnp.sum(jax.vmap(
+            lambda d, ix: jax.ops.segment_sum(
+                d, ix, num_segments=n, indices_are_sorted=True))(
+            vals64 + i * 1e-30, ri)).astype(jnp.float32))
+    print(f"{'':>44}-> {K * 8 / 1e9 / dt:6.1f} GB/s effective")
+
+    # [K, r]-shaped segment sum (the w_mul shape: values x factor rows)
+    vr = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, K, r)), jnp.float32)
+    dt = bench_loop(
+        f"sorted segment_sum [K,{r}] -> [n,{r}]",
+        lambda i: jnp.sum(jax.vmap(
+            lambda d, ix: jax.ops.segment_sum(
+                d, ix, num_segments=n, indices_are_sorted=True))(
+            vr + i * 1e-30, ri)))
+    print(f"{'':>44}-> {gb24 / dt:6.1f} GB/s effective")
+
+    dt = bench_loop(
+        f"compensated segsum [K,{r}] f32",
+        lambda i: jnp.sum(comp_segment_sum(vr + i * 1e-30, bounds)))
+    print(f"{'':>44}-> {gb24 / dt:6.1f} GB/s effective")
 
     W = jnp.asarray(rng.standard_normal((512, 2048)), jnp.float32)
     T = jnp.asarray(rng.standard_normal((2048, 128)), jnp.float32)
