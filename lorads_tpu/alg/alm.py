@@ -33,6 +33,15 @@ from lorads_tpu.alg.state import (FactorVec, LBFGSHistory, fv_norm2sq,
 
 EASY, MEDIUM, HARD, SUPER = 0, 1, 2, 3
 
+# FIX_INI_POINT step-by-step trace (lorads_alm.c:1081-1089, 1116-1118):
+# per inner iteration, print the L-BFGS direction norm ("nrm2U:") and
+# the accepted step ("tau:") — the reference's primary tool for manual
+# A/B debugging across implementations.  The solver flips this on with
+# params.fix_init_point BEFORE the first trace of the ALM graphs; it
+# is a trace-time constant, so flipping it after graphs are cached in
+# this process has no effect (use a fresh process per A/B run).
+TRACE_FIX_INI = False
+
 
 @dataclasses.dataclass
 class ALMStats:
@@ -159,6 +168,12 @@ def _inner_loop(pd: ProblemData, R: FactorVec, grad: FactorVec,
         h_ = aop.pin_history(pd, h_)
         h_ = jax.lax.cond(it % 300 == 0, history_reset, lambda h: h, h_)
         D = lbfgs_direction(h_, g_)
+        if TRACE_FIX_INI:
+            # FIX_INI_POINT per-iteration direction-norm trace
+            # (lorads_alm.c:1081-1089): the reference's primary
+            # cross-implementation A/B debugging printout
+            jax.debug.print("nrm2U: {u:.20f}",
+                            u=jnp.sqrt(fv_norm2sq(D)))
         q0 = pd.rhs - cs_
         p1, q1, p2, q2, dcaches = aop.obj_and_auv_pair_cached(
             pd, R_, D, ca_)
@@ -169,6 +184,9 @@ def _inner_loop(pd: ProblemData, R: FactorVec, grad: FactorVec,
         ok = (~num_err) & (~tau_small)
 
         def do_update(_):
+            if TRACE_FIX_INI:
+                # accepted-step trace (lorads_alm.c:1116-1118)
+                jax.debug.print("tau: {t:.20f}", t=tau)
             y0 = g_.scale(-1.0)
             Rn = R_.axpy(tau, D)
             cs_inc = cs_ + tau * q1 + (tau * tau) * q2

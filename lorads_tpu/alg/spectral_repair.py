@@ -70,7 +70,7 @@ def _cross_pieces(bk, Vi, Vj):
 
 @partial(jax.jit, static_argnames=("n_iters", "con_pad"))
 def _active_set_device(bk, Bmat, p_mask, dual0, rhs, delta, sigma,
-                       n_iters=12, con_pad=8):
+                       n_iters=12, con_pad=12):
     """One repair round's ACTIVE-SET loop as a single device program
     (round 4; VERDICT r3 #5).  The host version dispatched 2 kernels +
     a host eigh + several transfers per inner iteration — ~5 s of
@@ -219,11 +219,12 @@ def try_spectral_repair(solver, admm_stats) -> bool:
         traj.append(dinf)
         if dinf < best_dinf:
             best_dinf, best_dual = dinf, solver.dual
-        # keep refining to 0.9*band when rounds are cheap so the
-        # REPORTED dinf doesn't ride the acceptance band's edge
-        # (acceptance itself stays <= band); same margin rationale as
-        # admm.EXIT_MARGIN (VERDICT r3 #6)
-        if dinf <= 0.9 * band:
+        # keep refining to 0.7*band when rounds are cheap so the
+        # REPORTED dinf sits well inside the acceptance band
+        # (acceptance itself stays <= band); VERDICT r4 #6 — the
+        # round-4 0.9*band exit left theta300 at 90% of the budget,
+        # one unlucky certificate draw from failure
+        if dinf <= 0.7 * band:
             break
         restored = False
         if dinf > last_dinf * 1.02 and last_dual is not None:
@@ -296,7 +297,9 @@ def try_spectral_repair(solver, admm_stats) -> bool:
                 Bm[bi, :, : Bb.shape[1]] = Bb
                 p_real[(j, bi)] = Bb.shape[1]
             Bmats[j] = jnp.asarray(Bm, solver.dtype)
-        CON_PAD = 8
+        # consume every eigenpair the eigh rescue returns per block
+        # (_EIG_K = 12; VERDICT r4 #6)
+        CON_PAD = 12
         if len(Bmats) == 1:
             # Fused path (round 4): the whole active-set loop runs as
             # ONE device program — the host version below cost ~5 s
