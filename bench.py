@@ -42,6 +42,9 @@ BASELINES = {
     "matcomp2000": 7.23,
     "theta300": 88.0,
     "theta800": 400.0,       # censored lower bound (never converges)
+    # G-set-class torus (G67 topology), reference re-measured on the
+    # identical .dat-s conversion of the vendored .rudy (round 5)
+    "gset_torus10000": 10.107,
     "maxcut200000": None,    # reference reader cannot load n >= 50000
 }
 CENSORED = {"theta800"}
@@ -62,6 +65,10 @@ DEFAULT_FAMILIES = ("maxcut20000",
                     os.path.join(_FIX, "matcomp500.dat-s"),
                     "matcomp2000",
                     os.path.join(_FIX, "theta300.dat-s"),
+                    # G-set-class torus (real rudy-format file through
+                    # the production graph reader; G67 topology, seeded
+                    # +/-1 weights — see generators.gset_torus)
+                    os.path.join(_FIX, "gset_torus10000.rudy"),
                     "maxcut100000", "theta800",
                     # scale-ceiling family LAST: the soft budget
                     # truncates here first if the sweep runs long

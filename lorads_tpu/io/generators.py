@@ -287,3 +287,37 @@ def theta_from_graph(path: str) -> SDPProblem:
     rhs = np.zeros(n_e + 1)
     rhs[n_e] = 1.0
     return SDPProblem(m=n_e + 1, rhs=rhs, blocks=[blk])
+
+
+def write_graph(path: str, n: int, a, b, w=None):
+    """Write a rudy/G-set-format graph file (see read_graph): header
+    ``n_vertices n_edges``, then one 1-based ``i j w`` line per edge."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    w = np.ones(a.size) if w is None else np.asarray(w)
+    with open(path, "w") as fh:
+        fh.write(f"{n} {a.size}\n")
+        for i, j, wij in zip(a, b, w):
+            wi = int(wij) if float(wij).is_integer() else wij
+            fh.write(f"{int(i) + 1} {int(j) + 1} {wi}\n")
+
+
+def gset_torus(nx: int = 100, ny: int = 100, seed: int = 0):
+    """G-set torus-class Max-Cut graph: the 2-D toroidal grid with
+    random +/-1 edge weights — the structure of the G-set's torus
+    instances (G62-G67, G81; /root/reference/README.md:148-151 names
+    the G-set suite as the headline benchmark).  The REAL G-set files
+    are not vendorable in this zero-egress image and rudy's exact PRNG
+    stream is not reproducible offline, so the weight signs come from
+    a seeded NumPy RNG: same topology (n = nx*ny nodes, 2n edges,
+    4-regular), same weight distribution, not the byte-identical
+    instance.  Returns (n, a, b, w) like read_graph."""
+    n = nx * ny
+    idx = np.arange(n).reshape(nx, ny)
+    right = np.roll(idx, -1, axis=1)
+    down = np.roll(idx, -1, axis=0)
+    a = np.concatenate([idx.ravel(), idx.ravel()]).astype(np.int32)
+    b = np.concatenate([right.ravel(), down.ravel()]).astype(np.int32)
+    rng = np.random.default_rng(seed)
+    w = rng.choice([-1.0, 1.0], size=a.size)
+    return n, a, b, w

@@ -239,3 +239,35 @@ def test_cli_end_to_end_flags(tmp_path, capsys):
     bad = tmp_path / "bad.npz"
     bad.write_bytes(b"not an npz")
     assert main([str(f), "--quiet", "--warmStart", str(bad)]) == 2
+
+
+def test_gset_torus_generator_roundtrip(tmp_path):
+    """G-set torus-class generator (VERDICT r4 #5): 2-D toroidal grid,
+    4-regular, 2n +/-1 edges; rudy write/read round-trips and the
+    Max-Cut SDP built from the file solves."""
+    import os
+
+    from lorads_tpu.io import generators as g
+
+    n, a, b, w = g.gset_torus(6, 5, seed=3)
+    assert n == 30 and a.size == 60
+    assert set(np.unique(w)) <= {-1.0, 1.0}
+    # 4-regular
+    deg = np.zeros(n)
+    np.add.at(deg, a, 1)
+    np.add.at(deg, b, 1)
+    assert np.all(deg == 4)
+    path = os.path.join(tmp_path, "torus.rudy")
+    g.write_graph(path, n, a, b, w)
+    n2, a2, b2, w2 = g.read_graph(path)
+    assert n2 == n
+    np.testing.assert_array_equal(a2, a)
+    np.testing.assert_array_equal(b2, b)
+    np.testing.assert_allclose(w2, w)
+
+    from lorads_tpu import LoradsParams
+    from lorads_tpu.alg.solver import LoradsSolver
+
+    prob = g.maxcut_from_graph(path)
+    res = LoradsSolver(prob, LoradsParams(verbose=False)).solve()
+    assert res.pinf_l1 <= 1e-5
