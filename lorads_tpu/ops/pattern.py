@@ -915,6 +915,29 @@ def cast_floats(tree, dtype=jnp.float32):
 # ([1, n, r] replicated for summed buckets).
 # ---------------------------------------------------------------------------
 
+# sp (summed-bucket) factor-algebra sharding experiment (VERDICT r4
+# #3): pin the ALM loop's factor-shaped carries (R, grad, D, history,
+# CR cache) SHARDED along the n axis of the same mesh axis that
+# shards the pattern, so the replicated L-BFGS/line-search/axpy
+# algebra partitions.  Kernel entries still pin replicated (_expand):
+# GSPMD inserts ONE all_gather per kernel call; kernel exits pin
+# n-sharded (_reduce): the cross-shard sum lowers to reduce_scatter.
+# Comm volume per iteration is unchanged vs the replicated design
+# (psum == reduce_scatter + all_gather); compute fully partitions.
+import os as _os
+
+SUMMED_FACTOR_SHARD = _os.environ.get(
+    "LORADS_TPU_SP_FACTOR_SHARD", "0") == "1"
+
+
+def pin_factor_summed(bk: BucketData, x):
+    """Loop-carry pin for a summed bucket's factor-shaped arrays:
+    n-sharded when SUMMED_FACTOR_SHARD, else replicated."""
+    if SUMMED_FACTOR_SHARD:
+        return _pin(bk, x, None, "blk")
+    return _pin(bk, x)
+
+
 def _expand(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
     """Broadcast a replicated factor-side array to the shard axis.
 
@@ -931,9 +954,13 @@ def _expand(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
 def _reduce(bk: BucketData, X: jnp.ndarray) -> jnp.ndarray:
     """Sum a factor-shaped per-shard result back to [1, ...]
     (a psum over the mesh once the B axis is device-sharded); the
-    result is pinned replicated (see _expand)."""
+    result is pinned replicated (see _expand) — or n-sharded under
+    the SUMMED_FACTOR_SHARD experiment (reduce_scatter)."""
     if bk.summed:
-        return _pin(bk, jnp.sum(X, axis=0, keepdims=True))
+        s = jnp.sum(X, axis=0, keepdims=True)
+        if SUMMED_FACTOR_SHARD:
+            return _pin(bk, s, None, "blk")
+        return _pin(bk, s)
     return X
 
 
