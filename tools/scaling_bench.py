@@ -177,15 +177,34 @@ def pinned_probe(mode="dp", dev_counts=(1, 2), n_iter=24, repeats=2,
         env["PYTHONPATH"] = os.pathsep.join(
             p for p in [repo_root, env.get("PYTHONPATH", "")] if p)
         cpu_list = ",".join(str(i) for i in range(nd))
-        for _ in range(repeats):
+        done = 0
+        attempts = 0
+        while done < repeats and attempts < 2 * repeats + 2:
+            attempts += 1
+            # load gating (round 5): ambient load steals the pinned
+            # cores and UNDERSTATES efficiency (measured: 0.63 loaded
+            # vs 0.85 idle on sp deg-8) — wait briefly for quiet, and
+            # retry runs that raced a load spike
+            for _ in range(12):
+                if os.getloadavg()[0] < 0.8:
+                    break
+                time.sleep(5)
+            load0 = os.getloadavg()[0]
             out = subprocess.run(
                 ["taskset", "-c", cpu_list, sys.executable,
                  os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=1200)
+            got = False
             for line in out.stdout.splitlines():
                 if line.startswith("{"):
                     r = json.loads(line)
                     rates[nd] = max(rates.get(nd, 0.0), r["iters_per_s"])
+                    got = True
+            # a run that STARTED quiet counts; one that raced a load
+            # spike is retried (its rate still enters the max — honest
+            # measurements can only be understated by contamination)
+            if got and (load0 < 0.8 or attempts >= 2 * repeats):
+                done += 1
     return rates if len(rates) >= 2 else None
 
 
