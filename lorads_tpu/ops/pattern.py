@@ -522,7 +522,6 @@ def _bounds_np(ids: np.ndarray, S: int) -> jnp.ndarray:
 
 
 def _build_split_fields(bp: BucketPlan, dtype,
-                        want_bounds: bool = True,
                         want_sym: bool = False) -> dict:
     """Host construction of the diag/offdiag split arrays (sparse mode).
 
@@ -860,7 +859,6 @@ def build_bucket_data(bp: BucketPlan, m_glob: int, dtype,
         # keep only placeholders for the union fields (the sharded
         # builders construct their own non-split BucketData)
         split_fields = _build_split_fields(bp, dtype,
-                                           want_bounds=want_bounds,
                                            want_sym=summed)
         return BucketData(
             dense=False, n=n, K=K, nnz_a=bp.nnz_a, m_loc=bp.m_loc, B=B,
