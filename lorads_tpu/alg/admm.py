@@ -73,6 +73,23 @@ class ADMMStats:
     dinf_inf: float = 1e30
 
 
+def _admm_cache(bk: pat.BucketData, x):
+    """Per-bucket ADMM cache of one factor.
+
+    Plain diag-identity cones (Max-Cut) get a CRCache (C @ X,
+    [B, n, r]) instead of the 3-component gathered-row cache: the
+    closed-form update never calls CG, its W @ X product is
+    C @ X + (a .* w) .* X, and its constraint values need only the
+    diagonal of sym(X F^T) — so the off-pattern row caches
+    (3 x [B, Ko, r], the dominant HBM item at maxcut n >= 200000,
+    VERDICT r4 #4) are dead weight, and w_mul_cached's two Ko-row
+    segment sums collapse into cmul's single 2Ko-row pass.
+    Every other bucket keeps pattern.gather_cache."""
+    if _CLOSED_FORM and bk.split and bk.diag_ident and not bk.summed:
+        return aop.CRCache(pat.cmul(bk, x))
+    return pat.gather_cache(bk, x)
+
+
 def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
                         fixed_var, local_vals, constr_sum, dual, rho,
                         cg_tol, cg_max, fcache=None, s_term=None,
@@ -94,13 +111,22 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
     # M1, per block; summed buckets subtract the CONE total (the sum
     # of the per-shard partials), not the shard's own partial
     w_loc = pat.gather_w(bk, base) - rho * pat.cone_total(bk, local_vals)
-    W = pat.build_w(bk, w_loc)                          # C + A*(M1)
     # the fixed factor is constant for the whole CG solve: cache its
-    # gathered pattern rows once (pattern.gather_cache) so each CG
-    # matvec gathers only the iterate's rows
+    # gathered pattern rows (or C @ fixed for diag-identity cones)
+    # once so each CG matvec gathers only the iterate's rows
     if fcache is None:
-        fcache = pat.gather_cache(bk, fixed_var)
-    M2 = pat.w_mul_cached(bk, W, fixed_var, fcache) - rho * fixed_var
+        fcache = _admm_cache(bk, fixed_var)
+    if isinstance(fcache, aop.CRCache):
+        # diag-identity: W = C + diag(a .* w), so W @ fixed is the
+        # cached C @ fixed plus an elementwise diagonal plane — no
+        # build_w scatter, no w_mul segment sums (see _admm_cache)
+        M2 = (fcache.cr
+              + (bk.a_val_d * w_loc)[:, :, None] * fixed_var
+              - rho * fixed_var)
+    else:
+        W = pat.build_w(bk, w_loc)                      # C + A*(M1)
+        M2 = pat.w_mul_cached(bk, W, fixed_var, fcache) \
+            - rho * fixed_var
     if s_term is not None:
         # DUAL_U_V variant: M2 +/- S (LORADSRkMatSub_{positive,
         # negative}_S, lorads_admm.c:401-420); the caller signs S
@@ -164,15 +190,20 @@ def _update_sdp_var_one(pd: ProblemData, bk: pat.BucketData, update_var,
         else:
             new_var, iters = cg_solve(op, update_var, rhs, cg_tol,
                                       cg_max)
-    new_cache = pat.gather_cache(bk, new_var)
-    if new_cache is None:
-        uv = pat.uvt(bk, new_var, fixed_var)
+    new_cache = _admm_cache(bk, new_var)
+    if isinstance(new_cache, aop.CRCache):
+        # diag-identity constraint values need only the diagonal of
+        # sym(new fixed^T)
+        new_local = bk.a_val_d * jnp.sum(new_var * fixed_var, -1)
     else:
-        nr, nc = new_cache[0], new_cache[1]
-        fr, fc = fcache[0], fcache[1]
-        uv = (jnp.sum(new_var * fixed_var, -1),
-              0.5 * (jnp.sum(nr * fc, -1) + jnp.sum(nc * fr, -1)))
-    new_local = pat.constr_vals(bk, uv)
+        if new_cache is None:
+            uv = pat.uvt(bk, new_var, fixed_var)
+        else:
+            nr, nc = new_cache[0], new_cache[1]
+            fr, fc = fcache[0], fcache[1]
+            uv = (jnp.sum(new_var * fixed_var, -1),
+                  0.5 * (jnp.sum(nr * fc, -1) + jnp.sum(nc * fr, -1)))
+        new_local = pat.constr_vals(bk, uv)
     new_sum = constr_sum + pat.scatter_constr(bk, new_local - local_vals)
     return new_var, new_local, new_sum, iters, new_cache
 
@@ -349,12 +380,14 @@ def _obj_dimacs_xbar(pd: ProblemData, U: FactorVec, V: FactorVec, dual,
     """
     R = jax.tree.map(lambda u, v: 0.5 * (u + v), U, V)
     if u_caches is not None and v_caches is not None:
+        # caches are linear in the factor (gathered rows AND C @ X),
+        # so X_bar's cache is the mean of U's and V's
         xcaches = tuple(
             None if (uc is None or vc is None)
-            else tuple(0.5 * (u + v) for u, v in zip(uc, vc))
+            else jax.tree.map(lambda a, b: 0.5 * (a + b), uc, vc)
             for uc, vc in zip(u_caches, v_caches))
         xcaches = tuple(
-            pat.gather_cache(bk, Rb) if xc is None else xc
+            _admm_cache(bk, Rb) if xc is None else xc
             for bk, Rb, xc in zip(pd.buckets, R.cones, xcaches))
         pobj, locals_, total = aop.obj_and_auv_cached(pd, R, xcaches)
     else:
@@ -598,7 +631,7 @@ def _make_admm_chunk(rho_freq, rho_factor, tol2, tol1, rho_celling,
         def init_cache(j, bk, x):
             jac = jacobi[j] if isinstance(jacobi, tuple) else jacobi
             if jac or bk.B == 1 or bk.summed or bk.rowshard:
-                return pat.gather_cache(bk, x)
+                return _admm_cache(bk, x)
             return None
 
         carry = dict(
