@@ -67,18 +67,67 @@ def _twosum(a, b):
     return s, (a - (s - bb)) + (b - bb)
 
 
+def _shift1(x, k, axis):
+    """x shifted +k along ``axis`` with zero fill (contiguous pad +
+    slice — TPU-friendly, unlike strided even/odd slicing)."""
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (k, 0)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, x.shape[axis])
+    return jnp.pad(x, pads)[tuple(sl)]
+
+
+def _hs_pair_scan(hi, lo, axis):
+    """Inclusive pair prefix scan via Hillis-Steele contiguous
+    shifts: log2(N) steps of x[i] <- x[i] (+) x[i-2^j] with the
+    TwoSum pair combine."""
+    N = hi.shape[axis]
+    k = 1
+    while k < N:
+        sh, sl_ = _shift1(hi, k, axis), _shift1(lo, k, axis)
+        s, e = _twosum(hi, sh)
+        hi, lo = s, lo + sl_ + e
+        k *= 2
+    return hi, lo
+
+
+_PAIR_CHUNK = 512
+
+
 def _pair_scan(hi, lo, axis=1):
     """Inclusive prefix sums of hi + lo carried as a running f32
     two-float pair: the hi lane advances by TwoSum (error pushed into
     lo), lo accumulates compensations in plain f32.  Error of the pair
     sum vs the exact prefix is O(eps^2 N |prefix|) — f64-grade for any
-    pattern size here (N < 2^24)."""
+    pattern size here (N < 2^24).
 
-    def comb(x, y):
-        s, e = _twosum(x[0], y[0])
-        return s, x[1] + y[1] + e
-
-    return jax.lax.associative_scan(comb, (hi, lo), axis=axis)
+    Implementation (measured on v5e at [1, 960k] f32,
+    tools/probes/microbench_segsum_variants.py): TWO-LEVEL
+    Hillis-Steele — within-chunk pair scans of length _PAIR_CHUNK plus
+    a pair scan over the chunk totals, all shifts contiguous pads.
+    0.199 ms/op, at the raw-cumsum floor (0.23 ms) and 43x the sorted
+    scatter; `lax.associative_scan` with the same combine measured
+    4.5 ms (its even/odd recursion lowers to strided relayouts) and
+    its 3D form compiled pathologically slowly over the remote stack.
+    """
+    assert axis == 1
+    B, N = hi.shape[0], hi.shape[1]
+    if N <= 2 * _PAIR_CHUNK:
+        return _hs_pair_scan(hi, lo, axis)
+    trail = hi.shape[2:]
+    L = _PAIR_CHUNK
+    nc = -(-N // L)
+    pads = [(0, 0), (0, nc * L - N)] + [(0, 0)] * len(trail)
+    hi = jnp.pad(hi, pads).reshape((B, nc, L) + trail)
+    lo = jnp.pad(lo, pads).reshape((B, nc, L) + trail)
+    wh, wl = _hs_pair_scan(hi, lo, axis=2)
+    ph, pl = _hs_pair_scan(wh[:, :, -1], wl[:, :, -1], axis=1)
+    eh, el = _shift1(ph, 1, 1), _shift1(pl, 1, 1)   # exclusive
+    s, e = _twosum(wh, eh[:, :, None])
+    oh, ol = s, wl + el[:, :, None] + e
+    oh = oh.reshape((B, nc * L) + trail)[:, :N]
+    ol = ol.reshape((B, nc * L) + trail)[:, :N]
+    return oh, ol
 
 
 def comp_segment_sum(data: jnp.ndarray,

@@ -1,0 +1,217 @@
+"""Segment-sum implementation shoot-out on the ambient backend.
+
+Round-5 follow-up to tools/microbench_gather.py: the first compensated
+pair scan (lax.associative_scan carrier) measured 4.5 ms at
+[K=960k] f32 — 2x better than the 8.5 ms sorted scatter but 20x off
+the 0.23 ms raw-cumsum floor, because associative_scan's even/odd
+recursion lowers to strided slices (relayouts) on TPU.  Variants:
+
+  v1  assoc-scan pair (pattern.comp_segment_sum as shipped)
+  v2  Hillis-Steele pair scan, contiguous pad-shifts, full axis
+  v3  two-level H-S pair (within-chunk L=512 + chunk totals)
+  v4  f32 two-level: native within-chunk cumsum + f64 chunk totals
+      (error eps32 * chunk_L1 — scatter-class; cross-chunk exact)
+  raw native cumsum / sorted scatter floors for reference
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python -u \
+       tools/probes/microbench_segsum_variants.py
+Env: SV_K=960000 SV_N=4000 SV_R=24 SV_SHAPES=2d,3d SV_DTYPES=f32,f64
+"""
+
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lorads_tpu.ops.pattern import (_twosum, comp_segment_sum,
+                                    bounded_segment_sum)
+
+
+def _shift(x, k, axis):
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (k, 0)
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, x.shape[axis])
+    return jnp.pad(x, pads)[tuple(sl)]
+
+
+def hs_pair_scan(hi, lo, axis=1):
+    """Inclusive pair scan via Hillis-Steele contiguous shifts."""
+    N = hi.shape[axis]
+    k = 1
+    while k < N:
+        sh, sl_ = _shift(hi, k, axis), _shift(lo, k, axis)
+        s, e = _twosum(hi, sh)
+        hi, lo = s, lo + sl_ + e
+        k *= 2
+    return hi, lo
+
+
+def _to_pair(data):
+    if data.dtype == jnp.float64:
+        hi = data.astype(jnp.float32)
+        return hi, (data - hi).astype(jnp.float32), True
+    return data, jnp.zeros_like(data), False
+
+
+def _bounds_diff(ph, pl, bounds, f64, ndim3):
+    z = jnp.zeros_like(ph[:, :1])
+    ph = jnp.concatenate([z, ph], axis=1)
+    pl = jnp.concatenate([z, pl], axis=1)
+    idx = bounds[:, :, None] if ndim3 else bounds
+    gh = jnp.take_along_axis(ph, idx, axis=1)
+    gl = jnp.take_along_axis(pl, idx, axis=1)
+    if f64:
+        g = gh.astype(jnp.float64) + gl.astype(jnp.float64)
+        return g[:, 1:] - g[:, :-1]
+    d, e = _twosum(gh[:, 1:], -gh[:, :-1])
+    return d + (e + (gl[:, 1:] - gl[:, :-1]))
+
+
+def v2_hs(data, bounds):
+    hi, lo, f64 = _to_pair(data)
+    ph, pl = hs_pair_scan(hi, lo, axis=1)
+    return _bounds_diff(ph, pl, bounds, f64, data.ndim == 3)
+
+
+def _two_level_pair(hi, lo, L=512):
+    """Pair prefix over axis 1 via within-chunk H-S + chunk-total H-S."""
+    B, N = hi.shape[0], hi.shape[1]
+    trail = hi.shape[2:]
+    nc = -(-N // L)
+    pad = nc * L - N
+    pads = [(0, 0), (0, pad)] + [(0, 0)] * len(trail)
+    hi = jnp.pad(hi, pads).reshape((B, nc, L) + trail)
+    lo = jnp.pad(lo, pads).reshape((B, nc, L) + trail)
+    wh, wl = hs_pair_scan(hi, lo, axis=2)
+    th, tl = wh[:, :, -1], wl[:, :, -1]
+    ph, pl = hs_pair_scan(th, tl, axis=1)
+    eh, el = _shift(ph, 1, 1), _shift(pl, 1, 1)
+    s, e = _twosum(wh, eh[:, :, None])
+    oh, ol = s, wl + el[:, :, None] + e
+    oh = oh.reshape((B, nc * L) + trail)[:, :N]
+    ol = ol.reshape((B, nc * L) + trail)[:, :N]
+    return oh, ol
+
+
+def v3_two_level(data, bounds, L=512):
+    hi, lo, f64 = _to_pair(data)
+    ph, pl = _two_level_pair(hi, lo, L)
+    return _bounds_diff(ph, pl, bounds, f64, data.ndim == 3)
+
+
+def v4_native_within(data, bounds, L=512):
+    """f32: native within-chunk cumsum (restarts per chunk, error
+    eps32 * chunk_L1 — scatter-class) + exact f64 chunk totals."""
+    B, N = data.shape[0], data.shape[1]
+    trail = data.shape[2:]
+    nc = -(-N // L)
+    pad = nc * L - N
+    pads = [(0, 0), (0, pad)] + [(0, 0)] * len(trail)
+    d = jnp.pad(data, pads).reshape((B, nc, L) + trail)
+    within = jnp.cumsum(d, axis=2)
+    totals = jnp.sum(d.astype(jnp.float64), axis=2)
+    cpref = jnp.cumsum(totals, axis=1)
+    epref = _shift(cpref, 1, 1)                     # exclusive, f64
+    # prefix(p) = epref[chunk(p)] + within[chunk(p), p % L]
+    prefix32 = within.reshape((B, nc * L) + trail)[:, :N]
+    z32 = jnp.zeros_like(prefix32[:, :1])
+    prefix32 = jnp.concatenate([z32, prefix32], axis=1)
+    chunk_of = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         (jnp.arange(N, dtype=jnp.int32) // L)])
+    idx = bounds
+    w_idx = idx[:, :, None] if data.ndim == 3 else idx
+    gw = jnp.take_along_axis(prefix32, w_idx, axis=1)
+    # chunk prefix at boundary positions: careful — position p's
+    # within value covers rows [chunk_start, p), so the chunk part is
+    # epref[chunk((p-1))] for p > 0 with within at p... simplest
+    # correct form: inclusive prefix at p uses chunk_of[p-1+1] = the
+    # chunk containing row p-1; here prefix arrays are already
+    # 1-shifted (leading zero), so chunk_of is aligned by the same
+    # concat above
+    cidx = chunk_of[idx]
+    ge = jnp.take_along_axis(
+        jnp.concatenate([jnp.zeros_like(epref[:, :1]), epref], axis=1),
+        cidx[:, :, None] + 1 if data.ndim == 3 else cidx + 1, axis=1)
+    g = ge + gw.astype(jnp.float64)
+    out = g[:, 1:] - g[:, :-1]
+    return out if data.dtype == jnp.float64 else out.astype(data.dtype)
+
+
+def main():
+    K = int(os.environ.get("SV_K", "960000"))
+    n = int(os.environ.get("SV_N", "4000"))
+    r = int(os.environ.get("SV_R", "24"))
+    shapes = os.environ.get("SV_SHAPES", "2d,3d").split(",")
+    dtypes = os.environ.get("SV_DTYPES", "f32,f64").split(",")
+    rng = np.random.default_rng(0)
+    rows = np.sort(rng.integers(0, n, K)).astype(np.int32)
+    bounds = jnp.asarray(
+        np.searchsorted(rows, np.arange(n + 1)).astype(np.int32)[None])
+    ri = jnp.asarray(rows[None])
+    print(f"backend={jax.default_backend()} K={K} n={n} r={r}",
+          flush=True)
+
+    def bench(name, make_op, n1=8, n2=24):
+        @partial(jax.jit, static_argnames=("m",))
+        def run(m):
+            def body(i, acc):
+                return acc + make_op(i)
+            return jax.lax.fori_loop(0, m, body,
+                                     jnp.zeros((), jnp.float32))
+        t0 = time.time()
+        jax.device_get(run(n1))
+        c1 = time.time() - t0
+        jax.device_get(run(n2))
+        ts = []
+        for m in (n1, n2):
+            t0 = time.time()
+            for _ in range(3):
+                jax.device_get(run(m))
+            ts.append((time.time() - t0) / 3)
+        dt = (ts[1] - ts[0]) / (n2 - n1)
+        print(f"{name:>34}: {dt * 1e3:8.3f} ms/op  "
+              f"(first compile+run {c1:.0f}s)", flush=True)
+
+    for dts in dtypes:
+        jdt = jnp.float32 if dts == "f32" else jnp.float64
+        for shape in shapes:
+            if shape == "2d":
+                data = jnp.asarray(rng.standard_normal((1, K)), jdt)
+            else:
+                data = jnp.asarray(
+                    rng.standard_normal((1, K, r)), jdt)
+            tag = f"{dts} {shape}"
+            # correctness spot check on CPU-sized slice is in tests;
+            # here: throughput only
+            bench(f"v1 assoc-pair   {tag}",
+                  lambda i, d=data: jnp.sum(comp_segment_sum(
+                      d + i * 1e-30, bounds)).astype(jnp.float32))
+            bench(f"v2 HS-pair      {tag}",
+                  lambda i, d=data: jnp.sum(v2_hs(
+                      d + i * 1e-30, bounds)).astype(jnp.float32))
+            bench(f"v3 two-level HS {tag}",
+                  lambda i, d=data: jnp.sum(v3_two_level(
+                      d + i * 1e-30, bounds)).astype(jnp.float32))
+            bench(f"v4 native+f64   {tag}",
+                  lambda i, d=data: jnp.sum(v4_native_within(
+                      d + i * 1e-30, bounds)).astype(jnp.float32))
+            bench(f"raw cumsum      {tag}",
+                  lambda i, d=data: jnp.sum(bounded_segment_sum(
+                      d + i * 1e-30, bounds)).astype(jnp.float32))
+            if dts == "f32":
+                bench(f"sorted scatter  {tag}",
+                      lambda i, d=data: jnp.sum(jax.vmap(
+                          lambda x, ix: jax.ops.segment_sum(
+                              x, ix, num_segments=n,
+                              indices_are_sorted=True))(
+                          d + i * 1e-30, ri)).astype(jnp.float32))
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
