@@ -120,13 +120,16 @@ def test_lp_kernels():
     v = rng.standard_normal(5)
     w = rng.standard_normal(8)
     A = problem.lp.dense_matrix()
+    # f64 sums now route through the compensated pair scan whose error
+    # contract is ~2^-48 |prefix| (pattern.comp_segment_sum) — a hair
+    # above f64 ulp on small outputs, hence rtol 1e-11 + tiny atol
     np.testing.assert_allclose(
         np.asarray(lp_ops.constr_vals(lpd, jnp.asarray(u * v))),
-        A @ (u * v), rtol=1e-12)
+        A @ (u * v), rtol=1e-11, atol=1e-13)
     assert float(lp_ops.obj_inner(lpd, jnp.asarray(u * v))) == pytest.approx(
         problem.lp.obj @ (u * v), rel=1e-12)
     np.testing.assert_allclose(np.asarray(lp_ops.adjoint_cols(
-        lpd, jnp.asarray(w))), A.T @ w, rtol=1e-12)
+        lpd, jnp.asarray(w))), A.T @ w, rtol=1e-11, atol=1e-13)
     np.testing.assert_allclose(np.asarray(lpd.col_nrm2sq),
                                np.sum(A**2, axis=0), rtol=1e-12)
 
