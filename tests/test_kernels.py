@@ -597,3 +597,28 @@ def test_batched_segment_sum_routes_comp():
                                   sorted_ids=True, bounds=bounds)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-5)
+
+
+def test_pair_scan_chunk_edges():
+    """The two-level Hillis-Steele pair scan must be exact-grade at
+    awkward lengths: below/at/above the chunk width, non-multiples,
+    and 3D trailing dims."""
+    rng = np.random.default_rng(3)
+    from lorads_tpu.ops.pattern import _PAIR_CHUNK, _pair_scan
+    for N in (1, 2, _PAIR_CHUNK - 1, _PAIR_CHUNK, 2 * _PAIR_CHUNK,
+              2 * _PAIR_CHUNK + 1, 3 * _PAIR_CHUNK + 7):
+        for shape in ((2, N), (2, N, 3)):
+            d = rng.standard_normal(shape)
+            hi = jnp.asarray(d, jnp.float32)
+            lo = jnp.zeros_like(hi)
+            ph, pl = _pair_scan(hi, lo)
+            got = np.asarray(ph, np.float64) + np.asarray(pl, np.float64)
+            exact = np.cumsum(d.astype(np.float64), axis=1)
+            l1 = np.abs(d).sum(axis=1).max()
+            # f32 pair carries the f32-rounded inputs exactly; error
+            # vs the f64 cumsum is dominated by the input rounding
+            err = np.abs(got - np.cumsum(
+                d.astype(np.float32).astype(np.float64), axis=1)).max()
+            assert err <= 1e-5 * max(l1, 1.0) * 2 ** -23 * N + 1e-6, \
+                (N, shape, err)
+            np.testing.assert_allclose(got, exact, atol=1e-3, rtol=1e-5)
