@@ -569,3 +569,33 @@ def test_single_segment_sum_partitions_cleanly(eight_devices):
     np.testing.assert_allclose(
         np.asarray(f(data_s, bounds_s)),
         np.asarray(single_segment_sum(data, bounds)))
+
+
+def test_comp_segment_sum_partitions_cleanly(eight_devices):
+    """Round 5: the compensated pair scan is the production
+    scatter-free path at every dtype; its shifts/reshapes are
+    batch-independent, so it must partition along a sharded batch
+    axis with zero collectives."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from lorads_tpu.ops.pattern import comp_segment_sum
+
+    B, N, S = 8, 2048, 37
+    rng = np.random.default_rng(2)
+    data = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    inner = np.sort(rng.integers(0, N + 1, size=(B, S - 1)), axis=1)
+    bounds = jnp.asarray(np.concatenate(
+        [np.zeros((B, 1), int), inner, np.full((B, 1), N)], axis=1),
+        jnp.int32)
+    mesh = Mesh(np.array(eight_devices), ("blk",))
+    sh = NamedSharding(mesh, P("blk"))
+    data_s = jax.device_put(data, sh)
+    bounds_s = jax.device_put(bounds, sh)
+    f = jax.jit(comp_segment_sum)
+    hlo = f.lower(data_s, bounds_s).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all"):
+        assert coll not in hlo, f"{coll} in comp_segment_sum HLO"
+    got = np.asarray(f(data_s, bounds_s))
+    ref = np.asarray(comp_segment_sum(data, bounds))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
