@@ -703,3 +703,21 @@ def test_lp_gauss_seidel_end_to_end():
         assert res.pinf_l1 <= 1e-4
         assert res.gap <= 1e-3
     assert res_g.pobj == pytest.approx(res_j.pobj, abs=1e-3)
+
+
+def test_fix_init_point_trace(capfd):
+    """fix_init_point prints the reference's per-iteration nrm2U/tau
+    debug trace (lorads_alm.c:1081-1089, 1116-1118)."""
+    import importlib
+
+    from lorads_tpu.alg import alm as alm_mod
+
+    problem = generators.maxcut(n=24, avg_degree=4, seed=2)
+    try:
+        _solve(problem, fix_init_point=True, max_alm_iter=2,
+               max_admm_iter=5)
+        out, _ = capfd.readouterr()
+        assert "nrm2U: " in out
+        assert "tau: " in out
+    finally:
+        alm_mod.TRACE_FIX_INI = False
