@@ -93,6 +93,11 @@ def _hs_pair_scan(hi, lo, axis):
 
 _PAIR_CHUNK = 512
 
+# cmul slices its full-symmetric entry list into chunks of this many
+# entries when the list exceeds 2x the value (peak-HBM bound for the
+# [B, chunk, r] gather/scan transients at maxcut n >= 500000)
+_CMUL_CHUNK = 4_000_000
+
 
 def _pair_scan(hi, lo, axis=1):
     """Inclusive prefix sums of hi + lo carried as a running f32
@@ -1518,12 +1523,30 @@ def cmul(bk: BucketData, X: jnp.ndarray,
         else jnp.zeros_like(Xe)
     if bk.has_off:
         # single pass over the full-symmetric row-sorted entry list:
-        # one gather + one segment sum over 2*Ko entries
-        Xs = take_rows(Xe, bk.sym_cols_rs)
-        out = out + batched_segment_sum(
-            bk.c_sym_rs[:, :, None] * Xs, bk.sym_rows_rs, bk.n,
-            sorted_ids=True, bounds=bk.bnd_sym_rows,
-            f32_bounds=True, shard_batch=bk.mesh is not None)
+        # one gather + one segment sum over 2*Ko entries.  For very
+        # large patterns the [B, Ks, r] gather/scan transients are
+        # chunked over contiguous slices of the row-sorted list (each
+        # slice's segment boundaries are the clipped global bounds;
+        # partial segments compose exactly by addition) — bounds the
+        # peak HBM at ~_CMUL_CHUNK * r * 4 bytes per intermediate
+        # instead of Ks * r (maxcut n=500000: Ks = 10M, VERDICT r4 #4)
+        Ks = bk.sym_rows_rs.shape[1]
+        step = _CMUL_CHUNK if Ks > 2 * _CMUL_CHUNK else Ks
+        acc = None
+        for s in range(0, Ks, step):
+            e = min(s + step, Ks)
+            Xs = take_rows(Xe, bk.sym_cols_rs[:, s:e])
+            contrib = bk.c_sym_rs[:, s:e, None] * Xs
+            if bk.bnd_sym_rows is not None and step != Ks:
+                part = comp_segment_sum(
+                    contrib, jnp.clip(bk.bnd_sym_rows - s, 0, e - s))
+            else:
+                part = batched_segment_sum(
+                    contrib, bk.sym_rows_rs[:, s:e], bk.n,
+                    sorted_ids=True, bounds=bk.bnd_sym_rows,
+                    f32_bounds=True, shard_batch=bk.mesh is not None)
+            acc = part if acc is None else acc + part
+        out = out + acc
     return _reduce(bk, out)
 
 

@@ -622,3 +622,28 @@ def test_pair_scan_chunk_edges():
             assert err <= 1e-5 * max(l1, 1.0) * 2 ** -23 * N + 1e-6, \
                 (N, shape, err)
             np.testing.assert_allclose(got, exact, atol=1e-3, rtol=1e-5)
+
+
+def test_cmul_chunked_matches(monkeypatch):
+    """cmul's large-pattern chunked path (peak-HBM bound for
+    maxcut n>=500000) must equal the single-pass result."""
+    problem = generators.maxcut(n=400, avg_degree=6, seed=9)
+    ps = presolve(problem, LoradsParams())
+    bp = ps.buckets[0]
+    bk = pat.build_bucket_data(bp, problem.m, jnp.float64)
+    assert bk.split and bk.diag_ident and bk.Ks > 100
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((bk.B, bk.n, 5)))
+    ref = np.asarray(pat.cmul(bk, X))
+    monkeypatch.setattr(pat, "_CMUL_CHUNK", 137)
+    got = np.asarray(pat.cmul(bk, X))
+    # 2^-48-class compensated-scan rounding differs per chunking
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+    # f32 too (the production TPU dtype)
+    bk32 = pat.build_bucket_data(bp, problem.m, jnp.float32)
+    X32 = X.astype(jnp.float32)
+    monkeypatch.setattr(pat, "_CMUL_CHUNK", 10 ** 9)
+    ref32 = np.asarray(pat.cmul(bk32, X32))
+    monkeypatch.setattr(pat, "_CMUL_CHUNK", 137)
+    got32 = np.asarray(pat.cmul(bk32, X32))
+    np.testing.assert_allclose(got32, ref32, rtol=1e-5, atol=1e-5)
