@@ -56,22 +56,22 @@ class LPData:
 def build_lp_data(lp: LPBlockData, dtype) -> LPData:
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
-    bounds = {}
-    if True:    # built at every dtype (COMP_CUMSUM f32 path)
-        cp = np.argsort(lp.a_con, kind="stable")
-        lps = np.argsort(lp.a_col, kind="stable")
-        con_s = np.asarray(lp.a_con)[cp]
-        col_s = np.asarray(lp.a_col)[lps]
-        bounds = dict(
-            a_val_cs=f(np.asarray(lp.a_val)[cp]),
-            a_col_cs=i32(np.asarray(lp.a_col)[cp]),
-            bnd_con=i32(np.searchsorted(
-                con_s, np.arange(lp.m + 1)).astype(np.int32)),
-            a_val_ls=f(np.asarray(lp.a_val)[lps]),
-            a_con_ls=i32(np.asarray(lp.a_con)[lps]),
-            bnd_col=i32(np.searchsorted(
-                col_s, np.arange(lp.n_cols + 1)).astype(np.int32)),
-        )
+    # sorted copies + boundaries, built at every dtype (round 5:
+    # the compensated pair scan serves f32 sums too)
+    cp = np.argsort(lp.a_con, kind="stable")
+    lps = np.argsort(lp.a_col, kind="stable")
+    con_s = np.asarray(lp.a_con)[cp]
+    col_s = np.asarray(lp.a_col)[lps]
+    bounds = dict(
+        a_val_cs=f(np.asarray(lp.a_val)[cp]),
+        a_col_cs=i32(np.asarray(lp.a_col)[cp]),
+        bnd_con=i32(np.searchsorted(
+            con_s, np.arange(lp.m + 1)).astype(np.int32)),
+        a_val_ls=f(np.asarray(lp.a_val)[lps]),
+        a_con_ls=i32(np.asarray(lp.a_con)[lps]),
+        bnd_col=i32(np.searchsorted(
+            col_s, np.arange(lp.n_cols + 1)).astype(np.int32)),
+    )
     # padded per-column layout (Gauss-Seidel sweep; see LPData)
     counts = np.bincount(np.asarray(lp.a_col), minlength=lp.n_cols)
     max_nnz_col = max(int(counts.max()) if counts.size else 0, 1)
