@@ -187,8 +187,12 @@ def main():
                     rng.standard_normal((1, K, r)), jdt)
             tag = f"{dts} {shape}"
             # correctness spot check on CPU-sized slice is in tests;
-            # here: throughput only
-            bench(f"v1 assoc-pair   {tag}",
+            # here: throughput only.  v1 exists only when pattern's
+            # _pair_scan still uses lax.associative_scan — its 3D form
+            # compiled >30 min remotely and CRASHED the axon relay, so
+            # the production _pair_scan is benched as "shipped" below
+            # and the assoc-scan variant is gone.
+            bench(f"shipped comp    {tag}",
                   lambda i, d=data: jnp.sum(comp_segment_sum(
                       d + i * 1e-30, bounds)).astype(jnp.float32))
             bench(f"v2 HS-pair      {tag}",
