@@ -167,6 +167,31 @@ def run_family(name, params):
             k in ("vs_baseline",)}
 
 
+def measure_tunnel_rtt_ms():
+    """Median dispatch+device_get round trip on the ambient backend.
+
+    The remote-TPU (axon) tunnel's per-dispatch latency is NOT stable
+    across relay restarts: round 4 measured ~6 ms, round 5 (after the
+    relay died and came back) measured ~27 ms — a 4.5x regime shift
+    that inflates dispatch-bound families (theta*, certificate-heavy
+    solves) while leaving compute-bound ones untouched.  Recording it
+    next to the numbers makes the per-round series interpretable."""
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() == "cpu":
+        return None
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((4,))
+    jax.device_get(f(x))
+    ts = []
+    for _ in range(11):
+        t0 = time.time()
+        jax.device_get(f(x))
+        ts.append(time.time() - t0)
+    ts.sort()
+    return round(ts[len(ts) // 2] * 1e3, 1)
+
+
 def main():
     from lorads_tpu import LoradsParams
 
@@ -181,6 +206,12 @@ def main():
 
     params = LoradsParams(verbose=False, time_sec_limit=600.0,
                           reopt_level=2, dtype="auto")
+    rtt_ms = measure_tunnel_rtt_ms()
+    if rtt_ms is not None:
+        print(json.dumps({"metric": "tunnel_rtt_ms", "value": rtt_ms,
+                          "unit": "ms", "note": "r4 regime ~6 ms; "
+                          "dispatch-bound families scale with this"}),
+              flush=True)
     t_all = time.time()
     records = []
     for name in families:
@@ -216,6 +247,8 @@ def main():
     # LAST: the driver records only the final ~2 kB of output, and the
     # embedded families array alone is ~2.4 kB (VERDICT r3 weak #7 —
     # BENCH_r03 lost the headline value to exactly this truncation).
+    if rtt_ms is not None:
+        out["tunnel_rtt_ms"] = rtt_ms
     print(json.dumps({"metric": "families_table", "families": records}),
           flush=True)
     print(json.dumps(out), flush=True)
