@@ -784,7 +784,26 @@ def alm_optimize(pd: ProblemData, params, R: FactorVec, dual, hist,
     # adaptive per-dispatch inner-iteration budget (see outer_chunk's
     # cond): persists across ALM calls on the solver so the reopt
     # phase inherits what the initial phase learned
-    inner_budget = getattr(solver_ctx, "alm_inner_budget", 8000)
+    inner_budget = getattr(solver_ctx, "alm_inner_budget", 0)
+    if not inner_budget:
+        # First-dispatch sizing BEFORE any wall measurement exists.
+        # The axon worker kills device dispatches around ~60 s, and
+        # per-inner wall scales with the pattern work; a fixed 8000
+        # guess sat at ~35 s on maxcut n=100000 (work ~1.1e6) and was
+        # KILLED on n=200000 once the post-relay-restart worker ran
+        # ~30% slower (round 5: death in the first ALM dispatch, no
+        # iteration log ever emitted).  Calibration: r4 measured
+        # ~4.4 ms/inner at work ~1.1e6 -> per_inner ~ work / 2.5e8 s;
+        # target the first dispatch near 8 s so even a 2-3x slower
+        # worker stays under the ceiling, then let the measured-wall
+        # resize (2x growth cap, 20 s target) ramp it.  inner_budget
+        # is a TRACED argument of outer_chunk, so this sizing change
+        # compiles no new graphs.
+        work = sum(bk.B * (bk.n * bk.n if bk.dense else bk.K)
+                   for bk in pd.buckets)
+        per_inner_s = work / 2.5e8
+        inner_budget = max(500, min(8000,
+                                    int(8.0 / max(per_inner_s, 1e-9))))
 
     max_outer_inner = 0
     while True:
